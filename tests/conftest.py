@@ -1,0 +1,31 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+The reference has no tests (SURVEY.md §4); this harness is our substitute for
+its run-the-dataset validation.  Multi-chip sharding is tested against
+XLA's host-platform virtual devices so no TPU hardware is needed.
+"""
+
+import os
+
+# Force CPU: the session sitecustomize registers the axon TPU plugin and sets
+# jax_platforms="axon,cpu" programmatically (overriding the env var), so we
+# must override via jax.config BEFORE any backend initializes.  Tests must not
+# grab the single real TPU, and sharding tests need virtual host devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
