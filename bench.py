@@ -1,0 +1,66 @@
+"""Benchmark: per-frame tracking throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's tracking-thread time on an i7-4790 CPU is
+~25-40 ms/frame at 640x480 with 1000 features (TRO'17 Table V; SURVEY.md
+§6), i.e. ~33 fps.  vs_baseline = our_fps / 33.
+
+The benchmarked step is the per-frame tracking hot path (SURVEY.md §3.2
+HOT markers): ORB extraction (pyramid/FAST/NMS/select/orient/describe) +
+map-point matching (packed Hamming) + motion-only pose optimization
+(4x10 LM) — one fused jitted program, steady-state timing after warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 33.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+
+    # Warmup / compile.
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    # Vary the image each iteration so no caching tricks apply, but keep
+    # shapes static.  (Host->device transfer of the image is counted, as the
+    # reference's per-frame time includes image ingest.)
+    rng = np.random.default_rng(0)
+    images = [
+        args[0] + np.float32(i)  # cheap distinct inputs, same shape
+        for i in range(3)
+    ]
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = fn(images[i % 3], *args[1:])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_fps_640x480_1000feat",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,7 @@ class TpuSettings:
     max_obs_per_point: int = 16        # padded observation slots per landmark
     local_window: int = 80             # TrackLocalMap KF cap (Tracking.cc:≈1190)
     ransac_iters: int = 256            # batched hypothesis count
+    min_init_matches: int = 100        # mono-init match gate (Tracking.cc:≈600)
     mesh_shape: tuple = (1,)           # device mesh ("map" axis)
     dtype: str = "float32"
 

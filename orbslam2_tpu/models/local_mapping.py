@@ -1,0 +1,238 @@
+"""Local mapping: per-keyframe map maintenance.
+
+TPU-native equivalent of the LocalMapping thread (src/LocalMapping.cc,
+SURVEY.md §3.3).  The reference's Run() loop becomes a per-keyframe
+``process_keyframe`` invoked by the tracker after insertion (synchronous in
+round 1; the async pipelined version is the parallel/ milestone):
+
+  MapPointCulling      (LocalMapping.cc:≈140) — found-ratio < 0.25 or
+                       too few observers shortly after creation
+  CreateNewMapPoints   (≈190) — epipolar triangulation with the best
+                       covisible neighbors
+  SearchInNeighbors    (≈370) — fuse duplicate points (round-1: descriptor+
+                       projection duplicate suppression at creation)
+  LocalBundleAdjustment (Optimizer.cc:≈460) — solvers/local_ba
+  KeyFrameCulling      (≈500) — redundant keyframe masking
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Settings
+from ..ops import matcher
+from ..ops import pyramid as pyr_ops
+from ..ops import twoview
+from ..ops.extractor import Features
+from ..solvers.lie import se3_apply, se3_inverse
+from ..solvers.local_ba import local_bundle_adjustment
+from ..utils.camera import CameraModel, in_image
+from . import map_state as ms
+
+NO_POINT = ms.NO_POINT
+
+
+@jax.jit
+def cull_map_points(m: ms.MapState) -> ms.MapState:
+    """MapPointCulling: drop points with found/visible < 0.25, or points
+    that are no longer observed by >= 2 keyframes once mature
+    (>= 2 keyframes after creation)."""
+    found_ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
+        m.pt_visible.astype(jnp.float32), 1.0
+    )
+    n_obs = ms.point_observation_counts(m)
+    age = m.n_kf - m.pt_first_kf  # keyframes since creation
+    bad = (found_ratio < 0.25) | ((age >= 2) & (n_obs < 2))
+    keep = m.pt_valid & ~bad
+    return m._replace(pt_valid=keep)
+
+
+@functools.partial(jax.jit, static_argnames=("n_neighbors",))
+def triangulate_new_points(
+    m: ms.MapState,
+    kf_id: jnp.ndarray,
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    n_neighbors: int = 4,
+) -> ms.MapState:
+    """CreateNewMapPoints: for each of the best covisible neighbors, match
+    unbound keypoints along epipolar lines and triangulate.
+
+    The reference loops 10 (mono: 20) neighbors with early exits; we process
+    a fixed ``n_neighbors`` as a batched loop (compile-time unrolled).
+    """
+    neighbor_ids, weights = ms.best_covisible(m, kf_id, n_neighbors)
+
+    f1 = Features(
+        xy=m.kf_xy[kf_id], level=m.kf_level[kf_id], angle=m.kf_angle[kf_id],
+        response=jnp.ones_like(m.kf_angle[kf_id]),
+        desc=m.kf_desc[kf_id],
+        valid=m.kf_kp_valid[kf_id] & (m.kf_point[kf_id] < 0),  # unbound only
+    )
+    T1 = m.kf_pose_cw[kf_id]
+
+    def per_neighbor(m, nb):
+        kf2, w = nb
+        ok_neighbor = (w >= 10) & m.kf_valid[kf2] & (kf2 != kf_id)
+        f2 = Features(
+            xy=m.kf_xy[kf2], level=m.kf_level[kf2], angle=m.kf_angle[kf2],
+            response=jnp.ones_like(m.kf_angle[kf2]),
+            desc=m.kf_desc[kf2],
+            valid=m.kf_kp_valid[kf2] & (m.kf_point[kf2] < 0) & ok_neighbor,
+        )
+        T2 = m.kf_pose_cw[kf2]
+        # Fundamental from relative pose: F12 = K^-T [t]x R K^-1 mapping
+        # x1 -> line in image 2 ... build from T21 = T2 * T1^-1.
+        T21 = T2 @ se3_inverse(T1)
+        R21 = T21[:3, :3]
+        t21 = T21[:3, 3]
+        # Baseline gate (reference: skip if baseline < scene depth ratio).
+        baseline = jnp.linalg.norm(t21)
+        Kinv = jnp.linalg.inv(cam.K)
+        tx = jnp.array(
+            [
+                [0.0, -t21[2], t21[1]],
+                [t21[2], 0.0, -t21[0]],
+                [-t21[1], t21[0], 0.0],
+            ]
+        )
+        E21 = tx @ R21
+        F21 = Kinv.T @ E21 @ Kinv  # x2^T F21 x1 = 0; line2 = F21 @ x1
+        # matcher.search_for_triangulation expects F12 with line2 = x1 @ F12
+        # i.e. F12 = F21^T ... its epipolar_distance uses lines = x1h @ F12
+        # with distance in image 2, so F12^T x1 = line2 -> F12 = F21^T.
+        mres = matcher.search_for_triangulation(
+            f1, f2, F21.T, sigma2,
+        )
+        good_pair = mres.ok & (baseline > 1e-3)
+
+        # Triangulate matched pairs.
+        P1 = cam.K @ T1[:3, :4]
+        P2 = cam.K @ T2[:3, :4]
+        xy2 = f2.xy[mres.idx]
+        X = twoview.triangulate_linear(P1, P2, f1.xy, xy2)
+        # Cheirality + reprojection + scale-consistency checks (CheckRT-like).
+        pc1 = se3_apply(T1, X)
+        pc2 = se3_apply(T2, X)
+        z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
+
+        def reproj_err(pc, xy):
+            u = cam.fx * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-6) + cam.cx
+            v = cam.fy * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-6) + cam.cy
+            return (u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2
+
+        s2a = sigma2[jnp.clip(f1.level, 0, sigma2.shape[0] - 1)]
+        s2b = sigma2[jnp.clip(f2.level[mres.idx], 0, sigma2.shape[0] - 1)]
+        e1_ok = reproj_err(pc1, f1.xy) <= 5.991 * s2a
+        e2_ok = reproj_err(pc2, xy2) <= 5.991 * s2b
+        # Parallax gate: rays from both camera centers.
+        O1 = -T1[:3, :3].T @ T1[:3, 3]
+        O2 = -T2[:3, :3].T @ T2[:3, 3]
+        r1 = X - O1
+        r2 = X - O2
+        cos_par = jnp.sum(r1 * r2, -1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9
+        )
+        good = good_pair & z_ok & e1_ok & e2_ok & (cos_par < 0.9998)
+
+        m, pids = _add_and_bind(m, X, f1, mres.idx, good, kf_id, kf2)
+        return m
+
+    for i in range(n_neighbors):
+        nb = (neighbor_ids[i], weights[i])
+        m = per_neighbor(m, nb)
+    return m
+
+
+def _add_and_bind(m, X, f1, idx2, good, kf1, kf2):
+    """Append triangulated points and bind them in BOTH keyframes."""
+    from .tracking import add_points  # local import to avoid cycle
+
+    # Don't re-add slots that got bound by an earlier neighbor iteration.
+    still_unbound = m.kf_point[kf1] < 0
+    good = good & still_unbound
+    m, pids = add_points(m, X, f1.desc, good, kf1)
+    ok = good & (pids >= 0)
+    kf_point_1 = jnp.where(ok, pids, m.kf_point[kf1])
+    m = m._replace(kf_point=m.kf_point.at[kf1].set(kf_point_1))
+    # Bind in neighbor: slot idx2[i] of kf2 -> pids[i]
+    tgt = jnp.where(ok, idx2, 0)
+    row2 = m.kf_point[kf2]
+    incoming = jnp.full_like(row2, NO_POINT).at[tgt].set(
+        jnp.where(ok, pids, NO_POINT), mode="drop"
+    )
+    row2 = jnp.where((row2 < 0) & (incoming >= 0), incoming, row2)
+    m = m._replace(kf_point=m.kf_point.at[kf2].set(row2))
+    return m, pids
+
+
+@jax.jit
+def cull_keyframes(m: ms.MapState, current_kf: jnp.ndarray) -> ms.MapState:
+    """KeyFrameCulling (LocalMapping.cc:≈500): mask keyframes >= 90% of
+    whose points are seen by at least 3 other keyframes.  Keyframes 0/1 and
+    the current keyframe are protected."""
+    n_obs = ms.point_observation_counts(m)  # (P,)
+    pts = m.kf_point
+    ok = (pts >= 0) & m.kf_kp_valid
+    pid = jnp.where(ok, pts, 0)
+    redundant_obs = ok & (n_obs[pid] > 3)
+    n_pts = jnp.sum(ok, axis=1)
+    n_red = jnp.sum(redundant_obs, axis=1)
+    kf_ids = jnp.arange(m.kf_capacity)
+    cullable = (
+        m.kf_valid
+        & (kf_ids >= 2)
+        & (kf_ids != current_kf)
+        & (kf_ids < m.n_kf)
+        & (n_red.astype(jnp.float32) > 0.9 * n_pts.astype(jnp.float32))
+        & (n_pts > 0)
+    )
+    return m._replace(kf_valid=m.kf_valid & ~cullable)
+
+
+class LocalMapper:
+    """Host-side driver for the per-keyframe mapping sequence."""
+
+    def __init__(self, settings: Settings, enable_ba: bool = True,
+                 enable_kf_culling: bool = True):
+        self.settings = settings
+        self.cam = settings.camera_model()
+        orb = settings.orb
+        self.scale_factors = jnp.asarray(
+            pyr_ops.scale_factors(orb.n_levels, orb.scale_factor)
+        )
+        self.sigma2 = jnp.asarray(
+            pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor)
+        )
+        self.inv_sigma2 = 1.0 / self.sigma2
+        self.enable_ba = enable_ba
+        self.enable_kf_culling = enable_kf_culling
+
+    def on_initial_map(self, m: ms.MapState) -> ms.MapState:
+        """Post-initialization polish (the reference runs GBA(20) here)."""
+        if self.enable_ba:
+            m = local_bundle_adjustment(
+                m, jnp.int32(1), self.cam, self.inv_sigma2,
+            )
+            m = ms.update_point_stats(m)
+        return m
+
+    def process_keyframe(self, m: ms.MapState, kf_id: int) -> ms.MapState:
+        kf = jnp.int32(kf_id)
+        m = cull_map_points(m)
+        m = triangulate_new_points(
+            m, kf, self.cam, self.scale_factors, self.sigma2
+        )
+        m = ms.update_point_stats(m)
+        if self.enable_ba:
+            m = local_bundle_adjustment(m, kf, self.cam, self.inv_sigma2)
+            m = ms.update_point_stats(m)
+        if self.enable_kf_culling:
+            m = cull_keyframes(m, kf)
+        return m

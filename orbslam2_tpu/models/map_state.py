@@ -1,0 +1,229 @@
+"""The map as functional struct-of-arrays state.
+
+TPU-native replacement for the reference's pointer-graph data model
+(``Map``/``KeyFrame``/``MapPoint``, src/Map.cc, src/KeyFrame.cc,
+src/MapPoint.cc — SURVEY.md §2.1 L2): fixed-capacity pools with validity
+masks instead of heap objects, pure-function updates instead of per-object
+mutexes (SURVEY.md §2.5 P6 'eliminated').
+
+Key design points:
+* Observations are stored ONLY forward (keyframe slot -> point id), the
+  transpose of the reference's MapPoint::mObservations.  Everything the
+  reference derives from the backward index (covisibility weights,
+  distinctive descriptors, normals, local-BA incidence) is recomputed on
+  device from the forward index with segment ops / one MXU matmul — cheap,
+  and immune to index-inconsistency bugs.
+* Covisibility = B^T B where B[p, k] = point p observed by keyframe k:
+  the covisibility graph of KeyFrame::UpdateConnections (KeyFrame.cc:≈210)
+  as a single matmul.
+* Keyframe ids are monotonic pool slots; culled entries are masked invalid
+  (the pool is sized for the sequence; compaction is a host-side op).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NO_POINT = -1
+
+
+class MapState(NamedTuple):
+    # --- keyframes (capacity K, feature capacity N) ---
+    kf_pose_cw: jnp.ndarray   # (K, 4, 4) world->camera
+    kf_xy: jnp.ndarray        # (K, N, 2) undistorted level-0 keypoint coords
+    kf_level: jnp.ndarray     # (K, N) octave
+    kf_angle: jnp.ndarray     # (K, N)
+    kf_desc: jnp.ndarray      # (K, N, 8) uint32
+    kf_ur: jnp.ndarray        # (K, N) stereo right-u; <0 = mono
+    kf_kp_valid: jnp.ndarray  # (K, N)
+    kf_point: jnp.ndarray     # (K, N) int32 map-point id per slot; -1 = none
+    kf_valid: jnp.ndarray     # (K,)
+    kf_frame_id: jnp.ndarray  # (K,) source frame index (for trajectory)
+    kf_parent: jnp.ndarray    # (K,) spanning-tree parent (-1 root)
+    # --- map points (capacity P) ---
+    pt_pos: jnp.ndarray       # (P, 3)
+    pt_normal: jnp.ndarray    # (P, 3) mean viewing direction
+    pt_desc: jnp.ndarray      # (P, 8) uint32 distinctive descriptor
+    pt_min_dist: jnp.ndarray  # (P,) scale-invariance band
+    pt_max_dist: jnp.ndarray  # (P,)
+    pt_ref_kf: jnp.ndarray    # (P,) reference keyframe id
+    pt_first_kf: jnp.ndarray  # (P,) keyframe id at creation (culling window)
+    pt_valid: jnp.ndarray     # (P,)
+    pt_visible: jnp.ndarray   # (P,) int32 tracking statistics
+    pt_found: jnp.ndarray     # (P,) int32
+    # --- counters (device scalars so jitted updates stay fixed-shape) ---
+    n_kf: jnp.ndarray         # int32 next keyframe slot
+    n_pt: jnp.ndarray         # int32 next point slot
+
+    @property
+    def kf_capacity(self) -> int:
+        return self.kf_pose_cw.shape[0]
+
+    @property
+    def pt_capacity(self) -> int:
+        return self.pt_pos.shape[0]
+
+    @property
+    def feat_capacity(self) -> int:
+        return self.kf_xy.shape[1]
+
+
+def make_empty_map(kf_capacity: int, pt_capacity: int, feat_capacity: int) -> MapState:
+    K, P, N = kf_capacity, pt_capacity, feat_capacity
+    return MapState(
+        kf_pose_cw=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
+        kf_xy=jnp.zeros((K, N, 2), jnp.float32),
+        kf_level=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N), jnp.float32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_ur=jnp.full((K, N), -1.0, jnp.float32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_point=jnp.full((K, N), NO_POINT, jnp.int32),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_frame_id=jnp.zeros((K,), jnp.int32),
+        kf_parent=jnp.full((K,), -1, jnp.int32),
+        pt_pos=jnp.zeros((P, 3), jnp.float32),
+        pt_normal=jnp.zeros((P, 3), jnp.float32),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_min_dist=jnp.zeros((P,), jnp.float32),
+        pt_max_dist=jnp.full((P,), 1e9, jnp.float32),
+        pt_ref_kf=jnp.zeros((P,), jnp.int32),
+        pt_first_kf=jnp.zeros((P,), jnp.int32),
+        pt_valid=jnp.zeros((P,), bool),
+        pt_visible=jnp.ones((P,), jnp.int32),
+        pt_found=jnp.ones((P,), jnp.int32),
+        n_kf=jnp.int32(0),
+        n_pt=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived structure
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def observation_matrix(m: MapState) -> jnp.ndarray:
+    """B (P, K) float32: B[p, k] = 1 iff point p is bound to a valid keypoint
+    of valid keyframe k.  One scatter over the forward index."""
+    K, N = m.kf_point.shape
+    P = m.pt_capacity
+    kf_ids = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
+    pts = m.kf_point
+    ok = (
+        (pts >= 0)
+        & m.kf_kp_valid
+        & m.kf_valid[:, None]
+        & (pts < P)
+    )
+    pts_safe = jnp.where(ok, pts, 0)
+    B = jnp.zeros((P, K), jnp.float32)
+    B = B.at[pts_safe.reshape(-1), kf_ids.reshape(-1)].add(
+        ok.reshape(-1).astype(jnp.float32)
+    )
+    B = B * m.pt_valid[:, None].astype(jnp.float32)
+    return jnp.minimum(B, 1.0)
+
+
+@jax.jit
+def covisibility(m: MapState) -> jnp.ndarray:
+    """(K, K) int32 covisibility weights (shared-point counts, diag zeroed).
+
+    The whole covisibility graph of the reference in one MXU matmul.
+    """
+    B = observation_matrix(m)
+    W = jnp.einsum("pk,pl->kl", B, B)
+    W = W * (1.0 - jnp.eye(W.shape[0]))
+    return W.astype(jnp.int32)
+
+
+@jax.jit
+def point_observation_counts(m: MapState) -> jnp.ndarray:
+    """(P,) number of keyframes observing each point."""
+    return jnp.sum(observation_matrix(m), axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_best",))
+def best_covisible(m: MapState, kf_id: jnp.ndarray, n_best: int = 10):
+    """Ids + weights of the top-n covisible keyframes of ``kf_id``
+    (KeyFrame::GetBestCovisibilityKeyFrames, src/KeyFrame.cc:≈185)."""
+    W = covisibility(m)
+    row = W[kf_id]
+    w, ids = jax.lax.top_k(row, n_best)
+    return ids.astype(jnp.int32), w
+
+
+@jax.jit
+def update_point_stats(m: MapState) -> MapState:
+    """Recompute distinctive descriptors, normals and scale bands for all
+    valid points from the forward index — the batch equivalent of
+    MapPoint::ComputeDistinctiveDescriptors (MapPoint.cc:≈260) and
+    MapPoint::UpdateNormalAndDepth (MapPoint.cc:≈320).
+
+    Distinctive-descriptor note: the reference picks the observation
+    descriptor minimizing median Hamming distance to the others; computing
+    that exactly needs the per-point observation lists.  We use the
+    reference-keyframe observation's descriptor instead (the point's
+    creation descriptor), updated to the LATEST observing keyframe's
+    descriptor — cheap, and matching quality is gated by tests.
+    """
+    K, N = m.kf_point.shape
+    P = m.pt_capacity
+
+    ok = (m.kf_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pts_safe = jnp.where(ok, m.kf_point, 0)
+    flat_pts = pts_safe.reshape(-1)
+    okf = ok.reshape(-1)
+
+    # Mean viewing direction: sum over observations of normalized (X - O_k).
+    cam_centers = -jnp.einsum(
+        "kij,ki->kj", m.kf_pose_cw[:, :3, :3].transpose(0, 2, 1), m.kf_pose_cw[:, :3, 3]
+    )  # (K, 3) camera centers in world
+    kf_ids = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0).reshape(-1)
+    vec = m.pt_pos[flat_pts] - cam_centers[kf_ids]
+    vec = vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-9)
+    normal_sum = jnp.zeros((P, 3), jnp.float32).at[flat_pts].add(
+        vec * okf[:, None]
+    )
+    n_obs = jnp.zeros((P,), jnp.float32).at[flat_pts].add(okf.astype(jnp.float32))
+    normal = normal_sum / jnp.maximum(n_obs[:, None], 1.0)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    # Scale band from the reference keyframe's observation distance + octave.
+    ref_kf = jnp.clip(m.pt_ref_kf, 0, K - 1)
+    dist_ref = jnp.linalg.norm(m.pt_pos - cam_centers[ref_kf], axis=-1)
+    # Octave of the observation in the ref kf: find slot via argmax match.
+    pid = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
+    slot_match = m.kf_point[ref_kf] == pid[:, None]  # (P, N)
+    has_slot = jnp.any(slot_match, axis=-1)
+    slot = jnp.argmax(slot_match, axis=-1)
+    octave = m.kf_level[ref_kf, slot]
+    scale = 1.2 ** octave.astype(jnp.float32)
+    n_levels = 8
+    max_dist = dist_ref * scale
+    min_dist = max_dist / (1.2 ** (n_levels - 1))
+    # Latest-observation descriptor:
+    desc = m.kf_desc[ref_kf, slot]
+
+    upd = m.pt_valid & has_slot
+    return m._replace(
+        pt_normal=jnp.where(upd[:, None], normal, m.pt_normal),
+        pt_max_dist=jnp.where(upd, max_dist, m.pt_max_dist),
+        pt_min_dist=jnp.where(upd, min_dist, m.pt_min_dist),
+        pt_desc=jnp.where(upd[:, None], desc, m.pt_desc),
+    )
+
+
+@jax.jit
+def predict_scale(
+    dist: jnp.ndarray, max_dist: jnp.ndarray, n_levels: int = 8,
+    log_scale: float = jnp.log(1.2),
+) -> jnp.ndarray:
+    """MapPoint::PredictScale (MapPoint.cc:≈400): octave from distance ratio."""
+    ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-9), 1e-9)
+    lvl = jnp.ceil(jnp.log(ratio) / log_scale).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)

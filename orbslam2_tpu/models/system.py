@@ -1,0 +1,175 @@
+"""System facade — the public API.
+
+TPU-native equivalent of ``System`` (src/System.cc, SURVEY.md §2.1 L6):
+constructs the pipeline, exposes per-frame ``track_*`` calls, mode switches,
+reset, and the three trajectory savers byte-compatible with the TUM/KITTI
+evaluation tooling (SaveTrajectoryTUM ≈270, SaveKeyFrameTrajectoryTUM ≈330,
+SaveTrajectoryKITTI ≈370).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import Settings
+from .local_mapping import LocalMapper
+from .tracking import TrackState, Tracker
+
+
+class Sensor:
+    MONOCULAR = "mono"
+    STEREO = "stereo"
+    RGBD = "rgbd"
+
+
+class SlamSystem:
+    """``SlamSystem(settings, sensor)`` then ``track_*`` per frame.
+
+    The reference signature System(vocFile, settingsFile, sensor, useViewer)
+    maps to: vocabulary is optional (used by loop closing / relocalization
+    when configured), settings accepts the same YAML files.
+    """
+
+    def __init__(
+        self,
+        settings: Settings,
+        sensor: str = Sensor.MONOCULAR,
+        enable_mapping: bool = True,
+        vocabulary: Optional[object] = None,
+    ):
+        self.settings = settings
+        self.sensor = sensor
+        self.local_mapper = (
+            LocalMapper(settings) if enable_mapping else None
+        )
+        self.tracker = Tracker(settings, local_mapper=self.local_mapper)
+        self.vocabulary = vocabulary
+        self.localization_only = False
+        self.timestamps = []
+
+    # -- per-frame API (System::TrackMonocular/Stereo/RGBD) ---------------
+
+    def track_monocular(self, image, timestamp: float):
+        self.timestamps.append(timestamp)
+        return self.tracker.track_mono(image, timestamp)
+
+    def track_stereo(self, image_left, image_right, timestamp: float):
+        self.timestamps.append(timestamp)
+        return self.tracker.track_stereo(image_left, image_right, timestamp)
+
+    def track_rgbd(self, image, depth, timestamp: float):
+        self.timestamps.append(timestamp)
+        return self.tracker.track_rgbd(image, depth, timestamp)
+
+    # -- modes / reset (System::ActivateLocalizationMode, Reset) ----------
+
+    def activate_localization_mode(self):
+        """Tracking-only: pause mapping (the reference stops LocalMapping)."""
+        self.localization_only = True
+        self.tracker.local_mapper = None
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+        self.tracker.local_mapper = self.local_mapper
+
+    def reset(self):
+        self.tracker = Tracker(self.settings, local_mapper=self.local_mapper)
+        self.timestamps = []
+
+    def shutdown(self):
+        """No threads to join — the pipeline is synchronous host
+        orchestration over device programs."""
+
+    # -- state inspection --------------------------------------------------
+
+    @property
+    def map(self):
+        return self.tracker.map
+
+    def tracking_state(self) -> int:
+        return self.tracker.state
+
+    def poses_wc(self) -> np.ndarray:
+        return self.tracker.poses_wc()
+
+    # -- trajectory savers -------------------------------------------------
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: 'timestamp tx ty tz qx qy qz qw' per FRAME
+        (System::SaveTrajectoryTUM)."""
+        poses = self.poses_wc()
+        with open(path, "w") as f:
+            for i, T in enumerate(poses):
+                ts = self.timestamps[i] if i < len(self.timestamps) else float(i)
+                t = T[:3, 3]
+                q = _rot_to_quat(T[:3, :3])
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe-only TUM trajectory (System::SaveKeyFrameTrajectoryTUM)."""
+        m = self.map
+        n = int(m.n_kf)
+        kf_poses = np.asarray(m.kf_pose_cw[:n])
+        kf_frames = np.asarray(m.kf_frame_id[:n])
+        kf_ok = np.asarray(m.kf_valid[:n])
+        with open(path, "w") as f:
+            for i in range(n):
+                if not kf_ok[i]:
+                    continue
+                T = np.linalg.inv(kf_poses[i])
+                fid = int(kf_frames[i])
+                ts = (
+                    self.timestamps[fid]
+                    if fid < len(self.timestamps)
+                    else float(fid)
+                )
+                t = T[:3, 3]
+                q = _rot_to_quat(T[:3, :3])
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 12 numbers (3x4 row-major Twc) per frame
+        (System::SaveTrajectoryKITTI)."""
+        poses = self.poses_wc()
+        with open(path, "w") as f:
+            for T in poses:
+                r = T[:3, :4].reshape(-1)
+                f.write(" ".join(f"{x:.9e}" for x in r) + "\n")
+
+
+def _rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (x, y, z, w), TUM order."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    return np.array([x, y, z, w])

@@ -1,0 +1,684 @@
+"""Tracking: the per-frame front-end state machine.
+
+TPU-native equivalent of ``Tracking`` (src/Tracking.cc, SURVEY.md §3.2).
+The data-dependent state machine (NOT_INITIALIZED / OK / LOST, fallback
+order) runs on host exactly as the reference's ``Track()`` does in its
+caller thread; every compute step is a fixed-shape jitted program:
+
+  track_motion_model    = SearchByProjection(cur,last) + PoseOptimization
+                          (Tracking::TrackWithMotionModel, Tracking.cc:≈860)
+  track_reference_kf    = descriptor matching vs ref KF + PoseOptimization
+                          (Tracking::TrackReferenceKeyFrame, ≈770; BoW node
+                          gating is an acceleration, not a capability — we
+                          match densely, BoW arrives with loop closing)
+  track_local_map       = local-point harvest + frustum cull +
+                          SearchByProjection + PoseOptimization
+                          (Tracking::TrackLocalMap + SearchLocalPoints,
+                          ≈930/≈1140)
+  monocular init        = SearchForInitialization + batched H/F RANSAC
+                          (ops/twoview) + map bootstrap (≈560-740)
+  stereo/RGB-D init     = keyframe 0 + depth-unprojected points (≈500)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Settings
+from ..ops import matcher, twoview
+from ..ops import pyramid as pyr_ops
+from ..ops.extractor import Features, OrbExtractor
+from ..ops.hamming import TH_HIGH, TH_LOW, match_descriptors
+from ..solvers.lie import se3_apply, se3_inverse
+from ..solvers.pose_opt import PoseObs, pose_optimization
+from ..utils.camera import CameraModel, in_image
+from . import map_state as ms
+from .frame import Frame, build_mono_frame, build_rgbd_frame, build_stereo_frame
+
+NO_POINT = ms.NO_POINT
+
+
+# ---------------------------------------------------------------------------
+# Jitted tracking steps
+# ---------------------------------------------------------------------------
+
+
+def _pose_obs_from_bindings(
+    m: ms.MapState, frame: Frame, bindings: jnp.ndarray, inv_sigma2_lut: jnp.ndarray
+) -> PoseObs:
+    """Assemble PoseObs for all frame slots bound to a map point."""
+    bound = bindings >= 0
+    pid = jnp.where(bound, bindings, 0)
+    return PoseObs(
+        points_w=m.pt_pos[pid],
+        uv=frame.xy,
+        ur=frame.ur,
+        inv_sigma2=inv_sigma2_lut[jnp.clip(frame.level, 0, inv_sigma2_lut.shape[0] - 1)],
+        valid=bound & frame.valid & m.pt_valid[pid],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def track_motion_model(
+    m: ms.MapState,
+    frame: Frame,
+    T_pred: jnp.ndarray,
+    last_xy: jnp.ndarray,
+    last_bindings: jnp.ndarray,
+    last_level: jnp.ndarray,
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+    inv_sigma2_lut: jnp.ndarray,
+    radius: jnp.ndarray,
+):
+    """Project last frame's map points with the predicted pose, match in a
+    window, optimize pose.  Returns (T, bindings, n_inliers)."""
+    bound = last_bindings >= 0
+    pid = jnp.where(bound, last_bindings, 0)
+    valid_src = bound & m.pt_valid[pid]
+    p_w = m.pt_pos[pid]
+    p_c = se3_apply(T_pred, p_w)
+    z_ok = p_c[:, 2] > 0.1
+    uv = jnp.stack(
+        [cam.fx * p_c[:, 0] / jnp.maximum(p_c[:, 2], 1e-6) + cam.cx,
+         cam.fy * p_c[:, 1] / jnp.maximum(p_c[:, 2], 1e-6) + cam.cy], -1
+    )
+    valid_src = valid_src & z_ok & in_image(cam, uv)
+
+    mres = matcher.search_by_projection(
+        uv, last_level, m.pt_desc[pid], valid_src, frame.features,
+        scale_factors, radius=radius, max_dist=TH_HIGH, ratio=0.9,
+    )
+    # bindings: frame slot -> point id (scatter match results).
+    bindings = jnp.full(frame.xy.shape[0], NO_POINT, jnp.int32)
+    tgt = jnp.where(mres.ok, mres.idx, 0)
+    bindings = bindings.at[tgt].set(
+        jnp.where(mres.ok, pid, NO_POINT), mode="drop"
+    )
+    # ^ colliding sources: last writer wins (reference keeps best-dist; the
+    # pose optimizer's outlier gate cleans up the rest).
+
+    obs = _pose_obs_from_bindings(m, frame, bindings, inv_sigma2_lut)
+    n_matches = jnp.sum(obs.valid)
+    res = pose_optimization(T_pred, obs, cam)
+    bindings = jnp.where(res.inlier, bindings, NO_POINT)
+    return res.T_cw, bindings, res.n_inliers, n_matches
+
+
+@jax.jit
+def track_reference_keyframe(
+    m: ms.MapState,
+    frame: Frame,
+    ref_kf: jnp.ndarray,
+    T_init: jnp.ndarray,
+    inv_sigma2_lut: jnp.ndarray,
+    cam: CameraModel,
+):
+    """Match the frame against the reference keyframe's bound descriptors,
+    then optimize.  (TrackReferenceKeyFrame; dense matching stands in for
+    SearchByBoW's node-gated matching.)"""
+    kf_desc = m.kf_desc[ref_kf]
+    kf_pts = m.kf_point[ref_kf]
+    kf_has_pt = (kf_pts >= 0) & m.kf_kp_valid[ref_kf]
+    pid = jnp.where(kf_has_pt, kf_pts, 0)
+    src_valid = kf_has_pt & m.pt_valid[pid]
+
+    mres = match_descriptors(
+        kf_desc, src_valid, frame.desc, frame.valid,
+        max_dist=TH_LOW, ratio=0.7, cross_check=True,
+    )
+    bindings = jnp.full(frame.xy.shape[0], NO_POINT, jnp.int32)
+    tgt = jnp.where(mres.ok, mres.idx, 0)
+    bindings = bindings.at[tgt].set(
+        jnp.where(mres.ok, pid, NO_POINT), mode="drop"
+    )
+    obs = _pose_obs_from_bindings(m, frame, bindings, inv_sigma2_lut)
+    n_matches = jnp.sum(obs.valid)
+    res = pose_optimization(T_init, obs, cam)
+    bindings = jnp.where(res.inlier, bindings, NO_POINT)
+    return res.T_cw, bindings, res.n_inliers, n_matches
+
+
+@functools.partial(jax.jit, static_argnames=("n_local",))
+def gather_local_points(
+    m: ms.MapState, bindings: jnp.ndarray, n_local: int = 4096,
+    n_local_kfs: int = 16,
+):
+    """Local map = points observed by the keyframes sharing the most points
+    with the current frame (Tracking::UpdateLocalKeyFrames/Points,
+    Tracking.cc:≈1190-1300), as fixed-size gathers.
+
+    Returns (pt_ids (n_local,), valid (n_local,)).
+    """
+    # Votes: how many of the frame's bound points each KF observes.
+    B = ms.observation_matrix(m)  # (P, K)
+    bound = bindings >= 0
+    pid = jnp.where(bound, bindings, 0)
+    votes = jnp.sum(
+        B[pid] * bound[:, None].astype(jnp.float32), axis=0
+    )  # (K,)
+    _, local_kfs = jax.lax.top_k(votes, n_local_kfs)
+    # Union of their points: score each point by whether any local KF sees it.
+    seen = jnp.sum(B[:, local_kfs], axis=1) > 0  # (P,)
+    seen = seen & m.pt_valid
+    # Fixed-size id list: top_k over the mask (arbitrary order within ties).
+    score = seen.astype(jnp.float32)
+    _, pt_ids = jax.lax.top_k(score, n_local)
+    valid = seen[pt_ids]
+    return pt_ids.astype(jnp.int32), valid
+
+
+@jax.jit
+def track_local_map(
+    m: ms.MapState,
+    frame: Frame,
+    T: jnp.ndarray,
+    bindings: jnp.ndarray,
+    local_ids: jnp.ndarray,
+    local_valid: jnp.ndarray,
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+    inv_sigma2_lut: jnp.ndarray,
+):
+    """SearchLocalPoints + final pose optimization (Tracking.cc:≈930-1180).
+
+    Frustum test per local point (Frame::isInFrustum, Frame.cc:≈280):
+    positive depth, in image, distance within [0.8 min, 1.2 max] scale band,
+    viewing angle < 60 deg; search radius from viewing angle and predicted
+    scale.
+    """
+    p_w = m.pt_pos[local_ids]
+    p_c = se3_apply(T, p_w)
+    z = p_c[:, 2]
+    zok = z > 0.1
+    uv = jnp.stack(
+        [cam.fx * p_c[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+         cam.fy * p_c[:, 1] / jnp.maximum(z, 1e-6) + cam.cy], -1
+    )
+    O_w = -T[:3, :3].T @ T[:3, 3]
+    po = p_w - O_w
+    dist = jnp.linalg.norm(po, axis=-1)
+    dist_ok = (dist >= 0.8 * m.pt_min_dist[local_ids]) & (
+        dist <= 1.2 * m.pt_max_dist[local_ids]
+    )
+    view_cos = jnp.sum(
+        po * m.pt_normal[local_ids], axis=-1
+    ) / jnp.maximum(dist, 1e-9)
+    view_ok = view_cos > 0.5
+    # Already-bound points are not searched again (reference skips
+    # mnLastFrameSeen == current).
+    already = jnp.zeros(m.pt_capacity, bool).at[
+        jnp.where(bindings >= 0, bindings, 0)
+    ].set(bindings >= 0)
+    vis = (
+        local_valid & zok & in_image(cam, uv) & dist_ok & view_ok
+        & ~already[local_ids]
+    )
+
+    pred_level = ms.predict_scale(dist, m.pt_max_dist[local_ids])
+    # Viewing-angle-dependent radius (reference: 2.5 px if cos>0.998 else
+    # 4.0, times the predicted octave's scale factor).
+    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    d2 = jnp.sum((uv[:, None, :] - frame.xy[None, :, :]) ** 2, axis=-1)
+    rr = (r * scale_factors[pred_level]) ** 2
+    extra_mask = d2 <= rr[:, None]
+    level_ok = jnp.abs(frame.level[None, :] - pred_level[:, None]) <= 1
+    mres = match_descriptors(
+        m.pt_desc[local_ids], vis, frame.desc, frame.valid,
+        pair_mask=extra_mask & level_ok, max_dist=TH_HIGH, ratio=0.8,
+    )
+
+    new_bindings = bindings
+    tgt = jnp.where(mres.ok, mres.idx, 0)
+    # Only fill slots not already bound.
+    incoming = jnp.full_like(bindings, NO_POINT).at[tgt].set(
+        jnp.where(mres.ok, local_ids, NO_POINT), mode="drop"
+    )
+    new_bindings = jnp.where(
+        (new_bindings < 0) & (incoming >= 0), incoming, new_bindings
+    )
+
+    obs = _pose_obs_from_bindings(m, frame, new_bindings, inv_sigma2_lut)
+    res = pose_optimization(T, obs, cam)
+    new_bindings = jnp.where(res.inlier, new_bindings, NO_POINT)
+
+    # Visibility statistics for point culling (IncreaseVisible/Found).
+    vis_ids = jnp.where(vis, local_ids, 0)
+    pt_visible = m.pt_visible.at[vis_ids].add(vis.astype(jnp.int32))
+    found_mask = new_bindings >= 0
+    fid = jnp.where(found_mask, new_bindings, 0)
+    pt_found = m.pt_found.at[fid].add(found_mask.astype(jnp.int32))
+    m = m._replace(pt_visible=pt_visible, pt_found=pt_found)
+
+    return res.T_cw, new_bindings, res.n_inliers, m
+
+
+# ---------------------------------------------------------------------------
+# Map bootstrap + keyframe insertion (jitted map updates)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def insert_keyframe(
+    m: ms.MapState,
+    frame: Frame,
+    T_cw: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    bindings: jnp.ndarray,
+    parent: jnp.ndarray,
+) -> Tuple[ms.MapState, jnp.ndarray]:
+    """Append the frame as keyframe row n_kf (Tracking::CreateNewKeyFrame +
+    LocalMapping::ProcessNewKeyFrame's binding half).  Returns (map, kf_id)."""
+    k = m.n_kf
+    m = m._replace(
+        kf_pose_cw=m.kf_pose_cw.at[k].set(T_cw),
+        kf_xy=m.kf_xy.at[k].set(frame.xy),
+        kf_level=m.kf_level.at[k].set(frame.level),
+        kf_angle=m.kf_angle.at[k].set(frame.angle),
+        kf_desc=m.kf_desc.at[k].set(frame.desc),
+        kf_ur=m.kf_ur.at[k].set(frame.ur),
+        kf_kp_valid=m.kf_kp_valid.at[k].set(frame.valid),
+        kf_point=m.kf_point.at[k].set(jnp.where(frame.valid, bindings, NO_POINT)),
+        kf_valid=m.kf_valid.at[k].set(True),
+        kf_frame_id=m.kf_frame_id.at[k].set(frame_id),
+        kf_parent=m.kf_parent.at[k].set(parent),
+        n_kf=k + 1,
+    )
+    return m, k
+
+
+@jax.jit
+def add_points(
+    m: ms.MapState,
+    pos: jnp.ndarray,        # (M, 3) world positions
+    desc: jnp.ndarray,       # (M, 8)
+    good: jnp.ndarray,       # (M,) which slots are real new points
+    ref_kf: jnp.ndarray,     # scalar keyframe id
+) -> Tuple[ms.MapState, jnp.ndarray]:
+    """Append up to M points; returns (map, ids (M,) with -1 where not added).
+
+    Compacts the good entries to the front so the pool stays dense.
+    """
+    M = pos.shape[0]
+    order = jnp.argsort(~good)  # good entries first (stable)
+    pos_s = pos[order]
+    desc_s = desc[order]
+    good_s = good[order]
+    n_new = jnp.sum(good).astype(jnp.int32)
+    base = m.n_pt
+    offs = jnp.arange(M, dtype=jnp.int32)
+    slot = jnp.clip(base + offs, 0, m.pt_capacity - 1)
+    write = good_s & (base + offs < m.pt_capacity)
+
+    m = m._replace(
+        pt_pos=m.pt_pos.at[slot].set(
+            jnp.where(write[:, None], pos_s, m.pt_pos[slot])
+        ),
+        pt_desc=m.pt_desc.at[slot].set(
+            jnp.where(write[:, None], desc_s, m.pt_desc[slot])
+        ),
+        pt_ref_kf=m.pt_ref_kf.at[slot].set(
+            jnp.where(write, ref_kf, m.pt_ref_kf[slot])
+        ),
+        pt_first_kf=m.pt_first_kf.at[slot].set(
+            jnp.where(write, ref_kf, m.pt_first_kf[slot])
+        ),
+        pt_valid=m.pt_valid.at[slot].set(
+            jnp.where(write, True, m.pt_valid[slot])
+        ),
+        pt_visible=m.pt_visible.at[slot].set(
+            jnp.where(write, 1, m.pt_visible[slot])
+        ),
+        pt_found=m.pt_found.at[slot].set(
+            jnp.where(write, 1, m.pt_found[slot])
+        ),
+        n_pt=jnp.minimum(base + n_new, m.pt_capacity),
+    )
+    # ids in ORIGINAL (unsorted) order:
+    inv = jnp.argsort(order)
+    ids_sorted = jnp.where(write, slot, NO_POINT)
+    return m, ids_sorted[inv]
+
+
+@jax.jit
+def unproject_frame_depth(
+    frame: Frame, T_cw: jnp.ndarray, cam: CameraModel
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World positions for keypoints with valid depth (StereoInitialization /
+    CreateNewKeyFrame's close-point spawning, Tracking.cc:≈500/≈1060)."""
+    z = frame.depth
+    ok = (z > 0) & frame.valid
+    x = (frame.xy[:, 0] - cam.cx) / cam.fx * z
+    y = (frame.xy[:, 1] - cam.cy) / cam.fy * z
+    p_c = jnp.stack([x, y, z], -1)
+    T_wc = se3_inverse(T_cw)
+    return se3_apply(T_wc, p_c), ok
+
+
+# ---------------------------------------------------------------------------
+# Host-side tracker (the state machine)
+# ---------------------------------------------------------------------------
+
+
+class TrackState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class Tracker:
+    """Host orchestrator for per-frame tracking.
+
+    Mirrors Tracking's members: motion model (mVelocity), last frame,
+    reference keyframe, relative-pose log for trajectory export
+    (mlRelativeFramePoses, Tracking.cc:≈480).
+    """
+
+    def __init__(self, settings: Settings, local_mapper=None):
+        self.settings = settings
+        self.cam = settings.camera_model()
+        orb = settings.orb
+        self.extractor = OrbExtractor(orb, settings.tpu)
+        self.scale_factors = jnp.asarray(
+            pyr_ops.scale_factors(orb.n_levels, orb.scale_factor)
+        )
+        self.inv_sigma2 = jnp.asarray(
+            1.0 / pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor)
+        )
+        self.map = ms.make_empty_map(
+            settings.tpu.max_keyframes,
+            settings.tpu.max_points,
+            settings.tpu.max_keypoints,
+        )
+        self.local_mapper = local_mapper
+        self.state = TrackState.NOT_INITIALIZED
+        self.frame_id = 0
+        self.last_frame: Optional[Frame] = None
+        self.last_T = jnp.eye(4)
+        self.last_bindings = None
+        self.velocity: Optional[jnp.ndarray] = None
+        self.ref_kf = 0
+        self.last_kf_frame_id = 0
+        self.init_ref: Optional[Frame] = None
+        self.init_key = jax.random.PRNGKey(0)
+        # Trajectory: list of (frame_id, T_cw 4x4 numpy, ref_kf, is_lost)
+        self.trajectory = []
+        self.n_tracked_history = []
+
+    # -- frame entry points ------------------------------------------------
+
+    def track_mono(self, image, timestamp: float = 0.0):
+        frame = build_mono_frame(image, self.extractor, self.cam)
+        return self._track(frame, timestamp, sensor="mono")
+
+    def track_stereo(self, image_left, image_right, timestamp: float = 0.0):
+        frame = build_stereo_frame(
+            image_left, image_right, self.extractor, self.cam, self.scale_factors
+        )
+        return self._track(frame, timestamp, sensor="stereo")
+
+    def track_rgbd(self, image, depth_map, timestamp: float = 0.0):
+        frame = build_rgbd_frame(
+            image, depth_map, self.extractor, self.cam,
+            self.settings.camera.depth_map_factor,
+        )
+        return self._track(frame, timestamp, sensor="rgbd")
+
+    # -- core --------------------------------------------------------------
+
+    def _track(self, frame: Frame, timestamp: float, sensor: str):
+        if self.state == TrackState.NOT_INITIALIZED:
+            if sensor == "mono":
+                self._mono_initialize(frame)
+            else:
+                self._stereo_initialize(frame)
+            self._log_pose(frame)
+            self._finish_frame(frame)
+            return self.last_T
+
+        # --- pose prediction + motion-model tracking ---
+        ok = False
+        if self.velocity is not None:
+            T_pred = self.velocity @ self.last_T
+            th = 15.0 if sensor == "mono" else 7.0
+            T, bindings, n_in, n_match = track_motion_model(
+                self.map, frame, T_pred, self.last_frame.xy,
+                self.last_bindings, self.last_frame.level, self.cam,
+                self.scale_factors, self.inv_sigma2, jnp.float32(th),
+            )
+            if int(n_match) < 20:
+                # Reference retries with a doubled window when the motion
+                # model found too few matches (Tracking.cc:≈880).
+                T, bindings, n_in, n_match = track_motion_model(
+                    self.map, frame, T_pred, self.last_frame.xy,
+                    self.last_bindings, self.last_frame.level, self.cam,
+                    self.scale_factors, self.inv_sigma2, jnp.float32(2 * th),
+                )
+            ok = int(n_in) >= 10
+        used_motion = ok
+        if not ok:
+            T, bindings, n_in, n_match = track_reference_keyframe(
+                self.map, frame, jnp.int32(self.ref_kf), self.last_T,
+                self.inv_sigma2, self.cam,
+            )
+            ok = int(n_in) >= 10
+
+        if ok:
+            local_ids, local_valid = gather_local_points(self.map, bindings)
+            T, bindings, n_in, self.map = track_local_map(
+                self.map, frame, T, bindings, local_ids, local_valid,
+                self.cam, self.scale_factors, self.inv_sigma2,
+            )
+            ok = int(n_in) >= 30
+
+        if not ok and used_motion:
+            # The motion-model pose can converge to a marginal local minimum
+            # (accepted at >=10 inliers) that then fails TrackLocalMap; give
+            # the reference-keyframe path one chance before declaring LOST
+            # (the reference's backstop here is Relocalization).
+            T, bindings, n_in, n_match = track_reference_keyframe(
+                self.map, frame, jnp.int32(self.ref_kf), self.last_T,
+                self.inv_sigma2, self.cam,
+            )
+            if int(n_in) >= 10:
+                local_ids, local_valid = gather_local_points(self.map, bindings)
+                T, bindings, n_in, self.map = track_local_map(
+                    self.map, frame, T, bindings, local_ids, local_valid,
+                    self.cam, self.scale_factors, self.inv_sigma2,
+                )
+                ok = int(n_in) >= 30
+
+        if ok:
+            self.state = TrackState.OK
+            if self.last_T is not None:
+                self.velocity = T @ np.asarray(se3_inverse(self.last_T))
+            self.last_T = T
+            self.n_tracked_history.append(int(n_in))
+            if self._need_new_keyframe(frame, bindings, int(n_in), sensor):
+                self._create_keyframe(frame, T, bindings, sensor)
+        else:
+            self.state = TrackState.LOST
+            self.velocity = None
+
+        self._log_pose(frame)
+        self._finish_frame(frame, bindings if ok else None)
+        return self.last_T
+
+    # -- initialization ----------------------------------------------------
+
+    def _mono_initialize(self, frame: Frame):
+        min_m = self.settings.tpu.min_init_matches
+        if self.init_ref is None or int(frame.valid.sum()) <= min_m:
+            if int(frame.valid.sum()) > min_m:
+                self.init_ref = frame
+            return
+        mres = matcher.search_for_initialization(
+            self.init_ref.features, frame.features
+        )
+        n_matches = int(mres.ok.sum())
+        if n_matches < min_m:
+            self.init_ref = frame  # reference's re-seeding behavior
+            return
+        self.init_key, sub = jax.random.split(self.init_key)
+        xy1 = self.init_ref.xy
+        xy2 = frame.xy[mres.idx]
+        res = twoview.initialize_two_view(
+            xy1, xy2, mres.ok, self.cam.K, sub
+        )
+        if not bool(res.success):
+            return
+
+        # Scale by inverse median scene depth (CreateInitialMapMonocular,
+        # Tracking.cc:≈640: median depth -> 1).
+        good = np.asarray(res.good)
+        pts = np.asarray(res.points)
+        med_depth = float(np.median(pts[good][:, 2]))
+        scale = 1.0 / max(med_depth, 1e-6)
+        pts_scaled = jnp.asarray(pts * scale)
+        T21 = np.array(res.T21)  # writable copy
+        T21[:3, 3] *= scale
+        T21 = jnp.asarray(T21)
+
+        # KF0 at identity with ref frame; KF1 at T21 with current frame.
+        m = self.map
+        desc0 = self.init_ref.desc
+        m, pids = add_points(
+            m, pts_scaled, desc0, jnp.asarray(good), jnp.int32(0)
+        )
+        # Bindings: slot i of ref frame -> pids[i]; matched slot of cur.
+        bind0 = jnp.where(jnp.asarray(good), pids, NO_POINT)
+        bind1 = jnp.full(frame.xy.shape[0], NO_POINT, jnp.int32)
+        tgt = np.asarray(mres.idx)
+        okm = np.asarray(mres.ok) & good
+        bind1 = bind1.at[jnp.asarray(tgt)].set(
+            jnp.where(jnp.asarray(okm), pids, NO_POINT), mode="drop"
+        )
+        m, kf0 = insert_keyframe(
+            m, self.init_ref, jnp.eye(4), jnp.int32(self.frame_id - 1),
+            bind0, jnp.int32(-1),
+        )
+        m, kf1 = insert_keyframe(
+            m, frame, T21, jnp.int32(self.frame_id), bind1, jnp.int32(0)
+        )
+        m = ms.update_point_stats(m)
+        self.map = m
+        self.ref_kf = int(kf1)
+        self.last_T = T21
+        self.last_bindings = bind1
+        self.velocity = None
+        self.state = TrackState.OK
+        self.last_kf_frame_id = self.frame_id
+        if self.local_mapper is not None:
+            self.map = self.local_mapper.on_initial_map(self.map)
+
+    def _stereo_initialize(self, frame: Frame):
+        n_depth = int(((frame.depth > 0) & frame.valid).sum())
+        if n_depth < 500 // 5:  # reference wants 500 features; scaled caps
+            if int(frame.valid.sum()) < 100:
+                return
+        T0 = jnp.eye(4)
+        pos_w, ok = unproject_frame_depth(frame, T0, self.cam)
+        m, pids = add_points(self.map, pos_w, frame.desc, ok, jnp.int32(0))
+        bind = jnp.where(ok, pids, NO_POINT)
+        m, kf0 = insert_keyframe(
+            m, frame, T0, jnp.int32(self.frame_id), bind, jnp.int32(-1)
+        )
+        m = ms.update_point_stats(m)
+        self.map = m
+        self.ref_kf = int(kf0)
+        self.last_T = T0
+        self.last_bindings = bind
+        self.state = TrackState.OK
+        self.last_kf_frame_id = self.frame_id
+
+    # -- keyframe policy ---------------------------------------------------
+
+    def _need_new_keyframe(
+        self, frame: Frame, bindings, n_inliers: int, sensor: str
+    ) -> bool:
+        """Tracking::NeedNewKeyFrame (Tracking.cc:≈980), simplified to the
+        load-bearing conditions: reference-keyframe match ratio + max frame
+        gap + close-point starvation (stereo/RGB-D)."""
+        if int(self.map.n_kf) >= self.map.kf_capacity - 1:
+            return False
+        frames_since = self.frame_id - self.last_kf_frame_id
+        kf_tracked = int(
+            (
+                (self.map.kf_point[self.ref_kf] >= 0)
+                & self.map.kf_kp_valid[self.ref_kf]
+            ).sum()
+        )
+        ratio_th = 0.9 if sensor == "mono" else 0.75
+        need = (n_inliers < ratio_th * kf_tracked and n_inliers > 15)
+        need = need or frames_since >= 10  # MaxFrames=fps fallback (1/3 s here)
+        if sensor != "mono":
+            n_close_tracked = int(
+                ((frame.depth > 0) & (frame.depth < self._th_depth())
+                 & (bindings >= 0)).sum()
+            )
+            n_close_total = int(
+                ((frame.depth > 0) & (frame.depth < self._th_depth())
+                 & frame.valid).sum()
+            )
+            need = need or (n_close_tracked < 100 and n_close_total > 70)
+        return need and frames_since >= 1
+
+    def _th_depth(self) -> float:
+        c = self.settings.camera
+        return c.th_depth * c.bf / c.fx if c.bf > 0 else 1e9
+
+    def _create_keyframe(self, frame: Frame, T, bindings, sensor: str):
+        m = self.map
+        if sensor != "mono":
+            # Spawn close-depth points for unbound keypoints (Tracking.cc:≈1060).
+            pos_w, ok = unproject_frame_depth(frame, T, self.cam)
+            ok = ok & (bindings < 0) & (frame.depth < self._th_depth())
+            m, pids = add_points(m, pos_w, frame.desc, ok, m.n_kf)
+            bindings = jnp.where(ok & (pids >= 0), pids, bindings)
+        m, kf_id = insert_keyframe(
+            m, frame, T, jnp.int32(self.frame_id), bindings,
+            jnp.int32(self.ref_kf),
+        )
+        m = ms.update_point_stats(m)
+        self.map = m
+        self.ref_kf = int(kf_id)
+        self.last_kf_frame_id = self.frame_id
+        self.last_bindings = bindings
+        if self.local_mapper is not None:
+            self.map = self.local_mapper.process_keyframe(self.map, int(kf_id))
+
+    # -- bookkeeping -------------------------------------------------------
+
+    def _log_pose(self, frame: Frame):
+        self.trajectory.append(
+            (
+                self.frame_id,
+                np.asarray(self.last_T),
+                self.ref_kf,
+                self.state != TrackState.OK,
+            )
+        )
+
+    def _finish_frame(self, frame: Frame, bindings=None):
+        self.last_frame = frame
+        if bindings is not None:
+            self.last_bindings = bindings
+        elif self.last_bindings is None:
+            self.last_bindings = jnp.full(
+                frame.xy.shape[0], NO_POINT, jnp.int32
+            )
+        self.frame_id += 1
+
+    # -- outputs -----------------------------------------------------------
+
+    def poses_wc(self) -> np.ndarray:
+        """(F, 4, 4) camera-to-world trajectory estimate."""
+        out = []
+        for _, T_cw, _, _ in self.trajectory:
+            out.append(np.linalg.inv(T_cw))
+        return np.stack(out)

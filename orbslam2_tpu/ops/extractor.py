@@ -76,8 +76,11 @@ def _extract(
         xy, resp, valid = select_ops.select_keypoints(
             score, per_level[li], cell=cell
         )
-        ang = orb_ops.compute_orientations(img, xy)
         blur = pyr_ops.gaussian_blur(img)
+        # Orientation from the blurred image (reference uses the raw level
+        # image; blur stabilizes the intensity centroid on weak-gradient
+        # patches at negligible cost — same blur feeds the descriptors).
+        ang = orb_ops.compute_orientations(blur, xy)
         desc = orb_ops.compute_descriptors(blur, xy, ang)
 
         xs.append(xy * scales[li])

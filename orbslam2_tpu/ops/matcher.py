@@ -31,26 +31,33 @@ from .hamming import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("window", "check_rotation"))
+@functools.partial(
+    jax.jit, static_argnames=("window", "check_rotation", "max_level")
+)
 def search_for_initialization(
     f_ref: Features,
     f_cur: Features,
     window: int = 100,
     check_rotation: bool = True,
+    max_level: int = 1,
 ) -> Matches:
     """Windowed matching for monocular initialization
     (ORBmatcher::SearchForInitialization, src/ORBmatcher.cc:≈450).
 
-    Only level-0 keypoints, search window around the reference position,
-    ratio 0.9, TH_LOW, rotation-consistency histogram.
+    Low-octave keypoints only, search window around the reference position,
+    ratio 0.9, TH_LOW, rotation-consistency histogram.  (The reference
+    restricts to octave 0; we admit octaves <= max_level because our
+    grid-top-k selection redistributes borderline corners across octaves
+    more than DistributeOctTree does.)
     """
     d2 = jnp.sum(
         (f_ref.xy[:, None, :] - f_cur.xy[None, :, :]) ** 2, axis=-1
     )
     pair_mask = (
         (d2 <= float(window) ** 2)
-        & (f_ref.level[:, None] == 0)
-        & (f_cur.level[None, :] == 0)
+        & (f_ref.level[:, None] <= max_level)
+        & (f_cur.level[None, :] <= max_level)
+        & (f_ref.level[:, None] == f_cur.level[None, :])
     )
     m = match_descriptors(
         f_ref.desc, f_ref.valid, f_cur.desc, f_cur.valid,

@@ -1,0 +1,249 @@
+"""Local bundle adjustment with landmark Schur complement.
+
+TPU-native replacement for ``Optimizer::LocalBundleAdjustment``
+(src/Optimizer.cc:≈460) and its g2o machinery (BlockSolver_6_3 + sparse
+Cholesky — SURVEY.md §2.2): a batched Gauss-Newton/LM solver where
+
+  * the local window = current KF + top covisible KFs (vs the reference's
+    full covisible set), fixed KFs = next covisible ring, all as fixed-size
+    gathers;
+  * H_pp (3x3 landmark blocks) is built with scatter-adds over the forward
+    observation index and inverted in closed form (batched);
+  * the reduced camera system S = H_cc - H_cp H_pp^-1 H_pc is a dense
+    (6C, 6C) matrix (C <= 16 cameras) solved with Cholesky on the MXU;
+  * the reference's 5-then-10 iteration schedule with chi2 outlier removal
+    in between (Optimizer.cc:≈560) is two unrolled LM phases, outliers
+    masked not erased, and finally unbound from the keyframes.
+
+The same kernel with a `psum` over per-shard (H, b) becomes the
+multi-host distributed BA (parallel/dist_ba.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import map_state as ms
+from ..utils.camera import CameraModel
+from .lie import hat, se3_exp
+from .pose_opt import CHI2_MONO, CHI2_STEREO
+
+
+def _gather_problem(m: ms.MapState, kf_id, n_local: int, n_fixed: int):
+    """Camera set = [kf_id, top local covisible..., fixed ring...].
+
+    Returns (cam_ids (C,), is_fixed (C,), cam_used (C,)).
+    """
+    W = ms.covisibility(m)
+    row = W[kf_id]
+    _, order = jax.lax.top_k(row, n_local + n_fixed - 1)
+    cam_ids = jnp.concatenate([kf_id[None], order[: n_local - 1],
+                               order[n_local - 1 :]])
+    used = m.kf_valid[cam_ids] & (
+        (jnp.arange(cam_ids.shape[0]) == 0) | (row[cam_ids] > 0)
+    )
+    is_fixed = jnp.arange(cam_ids.shape[0]) >= n_local
+    # Gauge: the lowest keyframe id in the used set is held fixed (the
+    # reference fixes KF0 and all out-of-window observers).
+    masked_ids = jnp.where(used, cam_ids, jnp.int32(2**30))
+    gauge = jnp.argmin(masked_ids)
+    is_fixed = is_fixed | (jnp.arange(cam_ids.shape[0]) == gauge)
+    return cam_ids, is_fixed, used
+
+
+def _residuals(poses, pts, uv, ur, pid, w_valid, cam: CameraModel):
+    """Batched residual + Jacobians over (C, N) observations.
+
+    Returns r (C,N,3), J_cam (C,N,3,6), J_pt (C,N,3,3), behind (C,N).
+    """
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    X = pts[pid]  # (C, N, 3)
+    pc = jnp.einsum("cij,cnj->cni", R, X) + t[:, None, :]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zi = 1.0 / jnp.maximum(z, 1e-6)
+    zi2 = zi * zi
+    u = cam.fx * x * zi + cam.cx
+    v = cam.fy * y * zi + cam.cy
+    upred_r = u - cam.bf * zi
+    has_ur = ur >= 0
+    r = jnp.stack(
+        [u - uv[..., 0], v - uv[..., 1],
+         jnp.where(has_ur, upred_r - ur, 0.0)], axis=-1
+    )
+    zeros = jnp.zeros_like(x)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([cam.fx * zi, zeros, -cam.fx * x * zi2], -1),
+            jnp.stack([zeros, cam.fy * zi, -cam.fy * y * zi2], -1),
+            jnp.stack(
+                [cam.fx * zi, zeros, (-cam.fx * x + cam.bf) * zi2], -1
+            ),
+        ],
+        axis=-2,
+    )  # (C, N, 3, 3)
+    J_proj = J_proj.at[..., 2, :].set(
+        jnp.where(has_ur[..., None], J_proj[..., 2, :], 0.0)
+    )
+    I3 = jnp.broadcast_to(jnp.eye(3), pc.shape + (3,))
+    J_cam = J_proj @ jnp.concatenate([I3, -hat(pc)], axis=-1)  # (C,N,3,6)
+    J_pt = J_proj @ R[:, None, :, :]  # dpc/dX = R
+    behind = z <= 1e-6
+    return r, J_cam, J_pt, behind
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_local", "n_fixed", "phase_iters")
+)
+def local_bundle_adjustment(
+    m: ms.MapState,
+    kf_id: jnp.ndarray,
+    cam: CameraModel,
+    inv_sigma2_lut: jnp.ndarray,
+    n_local: int = 8,
+    n_fixed: int = 8,
+    phase_iters: Tuple[int, int] = (5, 10),
+) -> ms.MapState:
+    cam_ids, is_fixed, used = _gather_problem(m, kf_id, n_local, n_fixed)
+    C = cam_ids.shape[0]
+    P = m.pt_capacity
+
+    poses0 = m.kf_pose_cw[cam_ids]           # (C, 4, 4)
+    uv = m.kf_xy[cam_ids]                    # (C, N, 2)
+    ur = jnp.where(used[:, None], m.kf_ur[cam_ids], -1.0)
+    lvl = m.kf_level[cam_ids]
+    pid_raw = m.kf_point[cam_ids]            # (C, N)
+    obs_ok = (
+        (pid_raw >= 0) & m.kf_kp_valid[cam_ids] & used[:, None]
+    )
+    pid = jnp.where(obs_ok, pid_raw, 0)
+    obs_ok = obs_ok & m.pt_valid[pid]
+    inv_s2 = inv_sigma2_lut[jnp.clip(lvl, 0, inv_sigma2_lut.shape[0] - 1)]
+
+    has_ur = ur >= 0
+    chi2_th = jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)
+    delta_h = jnp.sqrt(chi2_th)
+
+    # Which points participate (observed by >= 1 used camera here).
+    pt_in = jnp.zeros((P,), bool).at[pid.reshape(-1)].set(
+        obs_ok.reshape(-1), mode="drop"
+    )
+    # Hold points fixed if ONLY fixed cameras see them locally?  The
+    # reference optimizes all local points; fixed-cam-only points have no
+    # local observer and get zero gradient anyway.
+
+    def chi2_of(poses, pts, mask):
+        r, _, _, behind = _residuals(poses, pts, uv, ur, pid, mask, cam)
+        c = jnp.sum(r * r, -1) * inv_s2
+        return jnp.where(behind, 1e9, c)
+
+    def lm_step(poses, pts, obs_mask, lam, robust):
+        r, J_cam, J_pt, behind = _residuals(poses, pts, uv, ur, pid, obs_mask, cam)
+        w = inv_s2 * obs_mask.astype(jnp.float32) * (~behind).astype(jnp.float32)
+        if robust:
+            rn = jnp.sqrt(jnp.sum(r * r, -1) * inv_s2 + 1e-12)
+            w = w * jnp.minimum(1.0, delta_h / jnp.maximum(rn, 1e-12))
+        # Zero camera Jacobians of fixed cameras.
+        J_cam = jnp.where(is_fixed[:, None, None, None], 0.0, J_cam)
+
+        # Per-camera blocks.
+        H_cc = jnp.einsum("cnij,cn,cnik->cjk", J_cam, w, J_cam)  # (C,6,6)
+        b_c = jnp.einsum("cnij,cn,cni->cj", J_cam, w, r)         # (C,6)
+        # Per-point blocks via scatter-add.
+        flat_pid = pid.reshape(-1)
+        Hpp_contrib = jnp.einsum("cnij,cn,cnik->cnjk", J_pt, w, J_pt).reshape(-1, 3, 3)
+        bp_contrib = jnp.einsum("cnij,cn,cni->cnj", J_pt, w, r).reshape(-1, 3)
+        H_pp = jnp.zeros((P, 3, 3)).at[flat_pid].add(Hpp_contrib, mode="drop")
+        b_p = jnp.zeros((P, 3)).at[flat_pid].add(bp_contrib, mode="drop")
+        # Cross blocks G[p, c] = sum_n Jc^T W Jp  (6x3).
+        G_contrib = jnp.einsum("cnij,cn,cnik->cnjk", J_cam, w, J_pt)  # (C,N,6,3)
+        cam_idx = jax.lax.broadcasted_iota(jnp.int32, pid.shape, 0).reshape(-1)
+        G = jnp.zeros((P, C, 6, 3)).at[flat_pid, cam_idx].add(
+            G_contrib.reshape(-1, 6, 3), mode="drop"
+        )
+
+        # Damped landmark inverse.
+        H_pp_d = H_pp + (lam * jnp.eye(3))[None] * jnp.maximum(
+            jnp.trace(H_pp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+        )
+        active = pt_in & (jnp.trace(H_pp, axis1=-2, axis2=-1) > 1e-9)
+        Hpp_inv = jnp.where(
+            active[:, None, None],
+            jnp.linalg.inv(H_pp_d + 1e-9 * jnp.eye(3)[None]),
+            0.0,
+        )
+
+        # Reduced camera system.
+        M = jnp.einsum("pcij,pjk->pcik", G, Hpp_inv)       # (P,C,6,3)
+        S_red = jnp.einsum("pcik,pdlk->cidl", M, G)        # (C,6,C,6)
+        S = (
+            _blockdiag(H_cc) - S_red.reshape(C * 6, C * 6)
+        )
+        rhs = (b_c - jnp.einsum("pcik,pk->ci", M, b_p)).reshape(-1)
+        # LM damping on cameras + fix handling: identity rows for fixed/unused.
+        diag_scale = jnp.maximum(jnp.diag(S), 1e-6)
+        S = S + jnp.diag(lam * diag_scale)
+        free = (~is_fixed) & used
+        free6 = jnp.repeat(free, 6)
+        S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
+        S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+        rhs = jnp.where(free6, rhs, 0.0)
+
+        delta_c = -jnp.linalg.solve(S, rhs).reshape(C, 6)
+        # Back-substitute points: delta_p = -Hpp_inv (b_p + G^T delta_c).
+        Gt_dc = jnp.einsum("pcij,ci->pj", G, delta_c)
+        delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, b_p + Gt_dc)
+        delta_p = jnp.where(active[:, None], delta_p, 0.0)
+
+        poses_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(delta_c, poses)
+        poses_new = jnp.where(is_fixed[:, None, None], poses, poses_new)
+        pts_new = pts + delta_p
+        return poses_new, pts_new
+
+    poses = poses0
+    pts = m.pt_pos
+    obs_mask = obs_ok
+    lam = jnp.float32(1e-4)
+    for phase, (iters, robust) in enumerate(
+        zip(phase_iters, (True, False))
+    ):
+        for _ in range(iters):
+            err0 = jnp.sum(jnp.where(obs_mask, chi2_of(poses, pts, obs_mask), 0.0))
+            poses_new, pts_new = lm_step(poses, pts, obs_mask, lam, robust)
+            err1 = jnp.sum(
+                jnp.where(obs_mask, chi2_of(poses_new, pts_new, obs_mask), 0.0)
+            )
+            accept = err1 < err0
+            poses = jnp.where(accept, poses_new, poses)
+            pts = jnp.where(accept, pts_new, pts)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e2)
+        # chi2 outlier pruning between phases (and after the last).
+        chi2 = chi2_of(poses, pts, obs_mask)
+        obs_mask = obs_mask & (chi2 <= chi2_th)
+
+    # Write back: poses, points, and unbind outlier observations.
+    kf_point = m.kf_point
+    new_rows = jnp.where(
+        obs_ok & ~obs_mask, ms.NO_POINT, m.kf_point[cam_ids]
+    )
+    kf_point = kf_point.at[cam_ids].set(
+        jnp.where(used[:, None], new_rows, m.kf_point[cam_ids])
+    )
+    kf_pose = m.kf_pose_cw.at[cam_ids].set(
+        jnp.where(used[:, None, None], poses, m.kf_pose_cw[cam_ids])
+    )
+    pt_pos = jnp.where(pt_in[:, None], pts, m.pt_pos)
+    return m._replace(kf_pose_cw=kf_pose, kf_point=kf_point, pt_pos=pt_pos)
+
+
+def _blockdiag(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(C, 6, 6) -> (6C, 6C) block diagonal."""
+    C = blocks.shape[0]
+    out = jnp.zeros((C, 6, C, 6))
+    idx = jnp.arange(C)
+    out = out.at[idx, :, idx, :].set(blocks)
+    return out.reshape(C * 6, C * 6)

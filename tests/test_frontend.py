@@ -127,12 +127,14 @@ class TestExtractor:
         assert feats.desc.shape == (512, 8) and feats.desc.dtype == jnp.uint32
         assert int(feats.valid.sum()) > 50
 
-    def test_keypoints_near_landmarks(self, seq, cam):
+    def test_landmarks_have_nearby_keypoints(self, seq, cam):
+        # The rendered scene has a textured background plane, so keypoints
+        # are everywhere; instead require that most LANDMARK sprites get a
+        # keypoint detected on them (detection recall).
         ex = self._extractor()
         feats = ex(seq.images[0])
         v = np.asarray(feats.valid)
         kp = np.asarray(feats.xy)[v]
-        # Project the ground-truth landmarks into frame 0.
         Tcw = np.linalg.inv(seq.poses_wc[0])
         p_c = (Tcw[:3, :3] @ seq.world.points.T).T + Tcw[:3, 3]
         vis = p_c[:, 2] > 0.2
@@ -141,9 +143,8 @@ class TestExtractor:
              320.0 * p_c[:, 1] / p_c[:, 2] + 120.0], -1
         )[vis]
         uv = uv[(uv[:, 0] > 20) & (uv[:, 0] < 300) & (uv[:, 1] > 20) & (uv[:, 1] < 220)]
-        # Most keypoints should lie within a few px of some landmark center.
-        d = np.linalg.norm(kp[:, None, :] - uv[None, :, :], axis=-1).min(axis=1)
-        assert np.median(d) < 6.0
+        d = np.linalg.norm(uv[:, None, :] - kp[None, :, :], axis=-1).min(axis=1)
+        assert np.mean(d < 8.0) > 0.5, f"landmark recall {np.mean(d < 8.0)}"
 
     def test_descriptors_match_across_frames(self, seq):
         ex = self._extractor()

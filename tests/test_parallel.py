@@ -1,0 +1,98 @@
+"""Multi-device tests on the virtual 8-CPU mesh: distributed BA step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_tpu.parallel import dist_ba, mesh as mesh_mod
+from orbslam2_tpu.solvers import lie
+from orbslam2_tpu.utils.camera import make_camera
+
+
+def make_problem(n_cams=8, n_obs=64, n_pts=128, noise=0.3, perturb=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    cam = make_camera(300.0, 300.0, 128.0, 96.0, width=256, height=192)
+    X = np.stack(
+        [rng.uniform(-3, 3, n_pts), rng.uniform(-2, 2, n_pts),
+         rng.uniform(5, 9, n_pts)], -1
+    ).astype(np.float32)
+    poses_gt, uv, pid, ok = [], [], [], []
+    for c in range(n_cams):
+        xi = np.concatenate([
+            [0.2 * c, 0.01 * c, 0.0], rng.normal(0, 0.02, 3)
+        ]).astype(np.float32)
+        T = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+        poses_gt.append(T)
+        ids = rng.choice(n_pts, n_obs, replace=False)
+        pc = X[ids] @ T[:3, :3].T + T[:3, 3]
+        u = 300.0 * pc[:, 0] / pc[:, 2] + 128.0 + rng.normal(0, noise, n_obs)
+        v = 300.0 * pc[:, 1] / pc[:, 2] + 96.0 + rng.normal(0, noise, n_obs)
+        uv.append(np.stack([u, v], -1))
+        pid.append(ids)
+        ok.append(pc[:, 2] > 0)
+    poses_gt = np.stack(poses_gt)
+    # Perturb all non-fixed poses + points.
+    poses0 = poses_gt.copy()
+    for c in range(1, n_cams):
+        d = rng.normal(0, perturb, 6).astype(np.float32)
+        poses0[c] = np.asarray(lie.se3_exp(jnp.asarray(d))) @ poses0[c]
+    X0 = X + rng.normal(0, 0.03, X.shape).astype(np.float32)
+    is_fixed = np.zeros(n_cams, bool)
+    is_fixed[0] = True
+    prob = dist_ba.ShardedBAProblem(
+        poses=jnp.asarray(poses0),
+        uv=jnp.asarray(np.stack(uv), jnp.float32),
+        pid=jnp.asarray(np.stack(pid), jnp.int32),
+        obs_ok=jnp.asarray(np.stack(ok)),
+        inv_s2=jnp.ones((n_cams, n_obs), jnp.float32),
+        is_fixed=jnp.asarray(is_fixed),
+        points=jnp.asarray(X0),
+    )
+    return prob, poses_gt, X, cam
+
+
+def mean_reproj_err(prob, poses, pts, cam):
+    r, _, _, _ = dist_ba._residuals_mono(
+        jnp.asarray(poses), jnp.asarray(pts), prob.uv, prob.pid, cam
+    )
+    e = np.asarray(jnp.linalg.norm(r, axis=-1))
+    return float(np.mean(e[np.asarray(prob.obs_ok)]))
+
+
+class TestDistributedBA:
+    def test_step_reduces_error_on_8_devices(self):
+        assert len(jax.devices()) >= 8
+        m = mesh_mod.make_mesh(8)
+        prob, poses_gt, X_gt, cam = make_problem(n_cams=8)
+        step = dist_ba.make_distributed_ba_step(m, cam, n_total_cams=8)
+        e0 = mean_reproj_err(prob, prob.poses, prob.points, cam)
+        poses, pts = prob.poses, prob.points
+        for _ in range(10):
+            poses, pts = step(prob._replace(poses=poses, points=pts))
+        e1 = mean_reproj_err(prob, poses, pts, cam)
+        assert e1 < 0.3 * e0, (e0, e1)
+        assert e1 < 1.0, f"final mean reproj {e1}"
+
+    def test_matches_single_device_semantics(self):
+        # The sharded step on 8 devices must equal the same step on 1 device.
+        prob, *_ , cam = make_problem(n_cams=8, seed=3)
+        m8 = mesh_mod.make_mesh(8)
+        m1 = mesh_mod.make_mesh(1)
+        s8 = dist_ba.make_distributed_ba_step(m8, cam, 8)
+        s1 = dist_ba.make_distributed_ba_step(m1, cam, 8)
+        p8, x8 = s8(prob)
+        p1, x1 = s1(prob)
+        # f32 cross-device reduction order shifts the last few ulps.
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-3)
+
+    def test_fixed_pose_untouched(self):
+        prob, *_ , cam = make_problem(n_cams=8, seed=5)
+        m = mesh_mod.make_mesh(8)
+        step = dist_ba.make_distributed_ba_step(m, cam, 8)
+        poses, pts = step(prob)
+        np.testing.assert_allclose(
+            np.asarray(poses)[0], np.asarray(prob.poses)[0], atol=1e-7
+        )
+        assert not np.allclose(np.asarray(poses)[3], np.asarray(prob.poses)[3])

@@ -1,0 +1,128 @@
+"""M4 end-to-end: full SLAM on synthetic sequences with ATE gates.
+
+This is the analog of the reference's run-a-dataset validation (SURVEY.md
+§4): deterministic sequences with exact ground truth instead of TUM/KITTI
+files (no network in this sandbox), ATE RMSE as the gate.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from orbslam2_tpu.config import CameraSettings, OrbSettings, Settings, TpuSettings
+from orbslam2_tpu.models.system import Sensor, SlamSystem
+from orbslam2_tpu.models.tracking import TrackState
+from orbslam2_tpu.utils import synthetic
+
+
+def small_settings(bf=0.0, th_depth=40.0):
+    return Settings(
+        camera=CameraSettings(
+            fx=320.0, fy=320.0, cx=160.0, cy=120.0,
+            k1=0, k2=0, p1=0, p2=0, k3=0,
+            width=320, height=240, bf=bf, th_depth=th_depth,
+            depth_map_factor=1.0,
+        ),
+        orb=OrbSettings(n_features=800, n_levels=4),
+        tpu=TpuSettings(max_keypoints=1024, max_keyframes=32, max_points=4096,
+                        min_init_matches=50),
+    )
+
+
+@pytest.fixture(scope="module")
+def mono_seq():
+    s = small_settings()
+    cam = s.camera_model()
+    return synthetic.make_sequence(cam, n_frames=16, n_points=400, seed=7)
+
+
+@pytest.fixture(scope="module")
+def rgbd_seq():
+    s = small_settings(bf=32.0)
+    cam = s.camera_model()
+    return synthetic.make_sequence(
+        cam, n_frames=14, n_points=400, with_depth=True, seed=11
+    )
+
+
+class TestMonoSlam:
+    def test_tracks_sequence(self, mono_seq):
+        sys = SlamSystem(small_settings(), Sensor.MONOCULAR)
+        states = []
+        for i in range(mono_seq.images.shape[0]):
+            sys.track_monocular(mono_seq.images[i], mono_seq.timestamps[i])
+            states.append(sys.tracking_state())
+        # Must initialize within the first half and stay OK.
+        assert TrackState.OK in states[:8], f"never initialized: {states}"
+        assert states[-1] == TrackState.OK, f"lost at end: {states}"
+        n_ok = sum(1 for s in states if s == TrackState.OK)
+        assert n_ok >= len(states) - 6
+
+        est = sys.poses_wc()
+        gt = mono_seq.poses_wc
+        # Only compare frames after initialization.
+        first_ok = states.index(TrackState.OK)
+        ate = synthetic.ate_rmse(
+            est[first_ok:], gt[first_ok:], with_scale=True
+        )
+        assert ate < 0.10, f"mono ATE {ate:.4f} m"  # round-1 bound: no loop closing/global BA yet
+
+    def test_map_grows_and_saves(self, mono_seq, tmp_path):
+        sys = SlamSystem(small_settings(), Sensor.MONOCULAR)
+        for i in range(mono_seq.images.shape[0]):
+            sys.track_monocular(mono_seq.images[i], mono_seq.timestamps[i])
+        m = sys.map
+        assert int(m.n_kf) >= 2
+        assert int(m.pt_valid.sum()) > 50
+        p = tmp_path / "traj.txt"
+        sys.save_trajectory_tum(str(p))
+        lines = p.read_text().strip().split("\n")
+        assert len(lines) == mono_seq.images.shape[0]
+        assert len(lines[0].split()) == 8
+        pk = tmp_path / "kf.txt"
+        sys.save_keyframe_trajectory_tum(str(pk))
+        assert len(pk.read_text().strip().split("\n")) >= 2
+        pkitti = tmp_path / "kitti.txt"
+        sys.save_trajectory_kitti(str(pkitti))
+        assert len(pkitti.read_text().strip().split("\n")[0].split()) == 12
+
+
+class TestRgbdSlam:
+    def test_tracks_sequence_metric(self, rgbd_seq):
+        sys = SlamSystem(small_settings(bf=32.0), Sensor.RGBD)
+        states = []
+        for i in range(rgbd_seq.images.shape[0]):
+            sys.track_rgbd(
+                rgbd_seq.images[i], rgbd_seq.depths[i], rgbd_seq.timestamps[i]
+            )
+            states.append(sys.tracking_state())
+        assert states[0] == TrackState.OK, "rgbd should init on frame 0"
+        assert states[-1] == TrackState.OK, f"lost: {states}"
+        est = sys.poses_wc()
+        gt = rgbd_seq.poses_wc
+        ate = synthetic.ate_rmse(est, gt, with_scale=False)
+        assert ate < 0.05, f"rgbd ATE {ate:.4f} m"
+
+
+class TestStereoSlam:
+    def test_tracks_sequence_metric(self):
+        # KITTI-like baseline/depth ratio (0.5 units at ~7 unit depth).
+        s = small_settings(bf=160.0)
+        cam = s.camera_model()
+        seq = synthetic.make_sequence(
+            cam, n_frames=12, n_points=400, stereo_baseline=0.5, seed=13,
+            radius=0.4, forward=0.8,
+        )
+        sys = SlamSystem(s, Sensor.STEREO)
+        states = []
+        for i in range(seq.images.shape[0]):
+            sys.track_stereo(
+                seq.images[i][0], seq.images[i][1], seq.timestamps[i]
+            )
+            states.append(sys.tracking_state())
+        assert states[0] == TrackState.OK, "stereo should init on frame 0"
+        assert states[-1] == TrackState.OK, f"lost: {states}"
+        est = sys.poses_wc()
+        ate = synthetic.ate_rmse(est, seq.poses_wc, with_scale=False)
+        assert ate < 0.08, f"stereo ATE {ate:.4f} m"
