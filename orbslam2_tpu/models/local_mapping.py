@@ -49,7 +49,13 @@ def cull_map_points(m: ms.MapState) -> ms.MapState:
     age = m.n_kf - m.pt_first_kf  # keyframes since creation
     bad = (found_ratio < 0.25) | ((age >= 2) & (n_obs < 2))
     keep = m.pt_valid & ~bad
-    return m._replace(pt_valid=keep)
+    # Scrub keyframe bindings to culled points NOW: their pool slots are
+    # reusable (tracking.add_points free-list), and a stale binding would
+    # silently re-attach to whatever point takes the slot next.
+    pid = jnp.maximum(m.kf_point, 0)
+    still = keep[pid] & (m.kf_point >= 0)
+    kf_point = jnp.where(still, m.kf_point, ms.NO_POINT)
+    return m._replace(pt_valid=keep, kf_point=kf_point)
 
 
 @functools.partial(jax.jit, static_argnames=("n_neighbors",))
@@ -193,7 +199,16 @@ def cull_keyframes(m: ms.MapState, current_kf: jnp.ndarray) -> ms.MapState:
         & (n_red.astype(jnp.float32) > 0.9 * n_pts.astype(jnp.float32))
         & (n_pts > 0)
     )
-    return m._replace(kf_valid=m.kf_valid & ~cullable)
+    kf_valid = m.kf_valid & ~cullable
+    # Re-parent children of culled keyframes up the tree (the reference's
+    # KeyFrame::SetBadFlag MST repair, KeyFrame.cc:≈460) so no node is left
+    # unconstrained in the essential graph.
+    parent = m.kf_parent
+    for _ in range(4):  # chains of culled ancestors are short
+        p_ok = (parent >= 0) & kf_valid[jnp.maximum(parent, 0)]
+        grand = parent[jnp.maximum(parent, 0)]
+        parent = jnp.where(p_ok | (parent < 0), parent, grand)
+    return m._replace(kf_valid=kf_valid, kf_parent=parent)
 
 
 class LocalMapper:

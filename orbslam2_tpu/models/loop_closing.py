@@ -1,0 +1,301 @@
+"""Loop closing: detection, Sim3 alignment, correction, global refinement.
+
+TPU-native equivalent of the LoopClosing thread (src/LoopClosing.cc,
+SURVEY.md §3.4).  Host-side driver invoked per keyframe (synchronous in
+round 1), device compute for every heavy step:
+
+  DetectLoop    (≈60): BoW candidate query (models/kf_database) with the
+                reference's covisible-consistency requirement
+                (mnCovisibilityConsistencyTh = 3 consecutive detections).
+  ComputeSim3   (≈160): dense descriptor matching of bound map points ->
+                batched Horn RANSAC (ops/sim3_solve, scale fixed for
+                stereo/RGB-D) -> optimize_sim3 (solvers/sim3_opt).
+  CorrectLoop   (≈330): propagate the corrective Sim3 over the current
+                covisible group + its points, add the loop edge, optimize
+                the essential graph (solvers/pose_graph), then global
+                refinement (solvers/global_ba in lieu of the reference's
+                background GBA thread).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Settings
+from ..ops import pyramid as pyr_ops
+from ..ops import sim3_solve
+from ..ops.hamming import TH_LOW, match_descriptors
+from ..solvers import pose_graph as pg
+from ..solvers.global_ba import global_bundle_adjustment
+from ..solvers.lie import (
+    rt_to_mat,
+    se3_apply,
+    se3_inverse,
+    sim3_apply,
+    sim3_from_mat,
+    sim3_inverse_mat,
+    sim3_to_mat,
+)
+from ..solvers.sim3_opt import optimize_sim3
+from . import map_state as ms
+from .kf_database import KeyframeDatabase
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        settings: Settings,
+        database: KeyframeDatabase,
+        fix_scale: bool,
+        enable_gba: bool = False,
+    ):
+        # enable_gba: run the global-refinement stage after the essential
+        # graph (the reference's background GBA).  Default off: with only
+        # partial cross-seam fusion, BA's optimum is still dominated by
+        # drift-consistent observations and can undo part of the graph
+        # correction; the pose graph + fuse is the net-positive core.
+        self.enable_gba = enable_gba
+        self.settings = settings
+        self.cam = settings.camera_model()
+        self.db = database
+        self.fix_scale = fix_scale
+        orb = settings.orb
+        self.sigma2 = jnp.asarray(
+            pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor)
+        )
+        self.inv_sigma2 = 1.0 / self.sigma2
+        self.key = jax.random.PRNGKey(7)
+        # Consistency tracking (LoopClosing::DetectLoop's consistent groups).
+        self.candidate_streak: dict = {}
+        self.last_loop_kf = -100
+        # Accepted loop edges for the essential graph.
+        self.loop_edges: List[Tuple[int, int, np.ndarray]] = []
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, m: ms.MapState, kf_id: int) -> ms.MapState:
+        """Returns the (possibly loop-corrected) map."""
+        if kf_id - self.last_loop_kf < 10 or int(m.n_kf) < 8:
+            # Reference skips detection within 10 KFs of the last loop.
+            return m
+        cand_ids, _ = self.db.detect_loop_candidates(m, kf_id)
+        # Consistency: a candidate (or its covisible group) must persist 3
+        # consecutive keyframes.
+        W = np.asarray(ms.covisibility(m))
+        new_streak = {}
+        fired = []
+        for c in cand_ids:
+            group = set(np.nonzero(W[c] > 0)[0].tolist()) | {int(c)}
+            streak = 1
+            for prev_group, prev_streak in self.candidate_streak.items():
+                if group & set(prev_group):
+                    streak = prev_streak + 1
+                    break
+            new_streak[tuple(sorted(group))] = streak
+            if streak >= 3:
+                fired.append(int(c))
+        self.candidate_streak = new_streak
+        if not fired:
+            return m
+
+        for loop_kf in fired:
+            res = self._compute_sim3(m, kf_id, loop_kf)
+            if res is None:
+                continue
+            S_CL = res
+            m = self._correct_loop(m, kf_id, loop_kf, S_CL)
+            self.last_loop_kf = kf_id
+            self.candidate_streak = {}
+            break
+        return m
+
+    # ------------------------------------------------------------------
+
+    def _compute_sim3(self, m: ms.MapState, kf_c: int, kf_l: int):
+        """Returns packed Sim3 S_CL (current-camera <- loop-camera) or None."""
+        # Matched map points via bound-descriptor matching (SearchByBoW ≥20).
+        desc_c = m.kf_desc[kf_c]
+        desc_l = m.kf_desc[kf_l]
+        ok_c = m.kf_kp_valid[kf_c] & (m.kf_point[kf_c] >= 0)
+        ok_l = m.kf_kp_valid[kf_l] & (m.kf_point[kf_l] >= 0)
+        mres = match_descriptors(
+            desc_c, ok_c, desc_l, ok_l,
+            max_dist=TH_LOW, ratio=0.75, cross_check=True,
+        )
+        n_matches = int(mres.ok.sum())
+        if n_matches < 20:
+            return None
+
+        pid_c = jnp.where(m.kf_point[kf_c] >= 0, m.kf_point[kf_c], 0)
+        pid_l_all = jnp.where(m.kf_point[kf_l] >= 0, m.kf_point[kf_l], 0)
+        pid_l = pid_l_all[mres.idx]
+        pair_ok = mres.ok & m.pt_valid[pid_c] & m.pt_valid[pid_l]
+
+        # 3-D positions of each side's map point in each CAMERA frame.
+        p_c = se3_apply(m.kf_pose_cw[kf_c], m.pt_pos[pid_c])
+        p_l = se3_apply(m.kf_pose_cw[kf_l], m.pt_pos[pid_l])
+
+        lvl_c = jnp.clip(m.kf_level[kf_c], 0, self.sigma2.shape[0] - 1)
+        lvl_l = jnp.clip(
+            m.kf_level[kf_l][mres.idx], 0, self.sigma2.shape[0] - 1
+        )
+        self.key, sub = jax.random.split(self.key)
+        rres = sim3_solve.sim3_ransac(
+            p_c, p_l, pair_ok,
+            9.21 * self.sigma2[lvl_c], 7.78 * self.sigma2[lvl_l],
+            self.cam, sub, fix_scale=self.fix_scale, min_inliers=20,
+        )
+        if not bool(rres.ok):
+            return None
+
+        S0 = sim3_to_mat(rres.R12, rres.t12, rres.s12)
+        uv_c = m.kf_xy[kf_c]
+        uv_l = m.kf_xy[kf_l][mres.idx]
+        ores = optimize_sim3(
+            S0, p_c, p_l, uv_c, uv_l,
+            self.inv_sigma2[lvl_c], self.inv_sigma2[lvl_l],
+            rres.inliers, self.cam, fix_scale=self.fix_scale,
+        )
+        if int(ores.n_inliers) < 20:
+            return None
+        return ores.S12
+
+    # ------------------------------------------------------------------
+
+    def _correct_loop(
+        self, m: ms.MapState, kf_c: int, kf_l: int, S_CL: jnp.ndarray
+    ) -> ms.MapState:
+        """CorrectLoop (≈330): propagate, pose graph, global refinement.
+
+        Edge MEASUREMENTS come from the PRE-correction poses (the
+        reference's NonCorrectedSim3); the corrected Sim3 of the current
+        covisible group only seeds the optimization (CorrectedSim3) — a
+        boundary edge measured from mixed old/new poses would encode the
+        drift discontinuity as a constraint and the graph would keep it.
+        """
+        T_old_all = m.kf_pose_cw  # pre-correction SE3 poses (measurements)
+
+        # Corrected Sim3 seed for the current covisible group:
+        # S_i_w = (T_i_w T_C_w^-1) ∘ S_CL ∘ T_L_w.
+        S_Cw_corr = S_CL @ T_old_all[kf_l]
+        W = ms.covisibility(m)
+        group_mask = ((W[kf_c] > 0) | (jnp.arange(m.kf_capacity) == kf_c)) & m.kf_valid
+        T_wC = se3_inverse(T_old_all[kf_c])
+        S_seed = jax.vmap(lambda T_iw: (T_iw @ T_wC) @ S_Cw_corr)(T_old_all)
+        init_S = jnp.where(group_mask[:, None, None], S_seed, T_old_all)
+
+        # Loop edges (measurements carry their own Sim3).
+        self.loop_edges.append((kf_l, kf_c, np.asarray(S_CL)))
+        loop_i = jnp.asarray([e[0] for e in self.loop_edges], jnp.int32)
+        loop_j = jnp.asarray([e[1] for e in self.loop_edges], jnp.int32)
+        loop_S = jnp.asarray(np.stack([e[2] for e in self.loop_edges]))
+        loop_v = jnp.ones(len(self.loop_edges), bool)
+        edges = pg.edges_from_map(
+            T_old_all, m.kf_valid, m.kf_parent, W,
+            loop_i, loop_j, loop_S, loop_v,
+            min_covis_weight=100,
+        )
+        fixed = jnp.zeros(m.kf_capacity, bool).at[kf_l].set(True)
+        T_new, scales = pg.optimize_essential_graph(
+            T_old_all, m.kf_valid, edges, fixed,
+            init_S_cw=init_S, iters=20, fix_scale=self.fix_scale,
+        )
+
+        # Correct every map point by its reference keyframe's old->new
+        # similarity (Optimizer.cc:≈1050).
+        pt_ref = jnp.clip(m.pt_ref_kf, 0, m.kf_capacity - 1)
+        p_cam = jax.vmap(se3_apply)(T_old_all[pt_ref], m.pt_pos)
+        p_cam = p_cam * scales[pt_ref][:, None]
+        T_new_inv = jax.vmap(se3_inverse)(T_new[pt_ref])
+        p_after = jax.vmap(se3_apply)(T_new_inv, p_cam)
+        pt_pos = jnp.where(m.pt_valid[:, None], p_after, m.pt_pos)
+
+        m = m._replace(
+            kf_pose_cw=jnp.where(m.kf_valid[:, None, None], T_new, m.kf_pose_cw),
+            pt_pos=pt_pos,
+        )
+
+        # SearchAndFuse (LoopClosing.cc:≈470): rebind current-group
+        # observations to the loop-side points so the following BA has
+        # constraints ACROSS the loop seam (else its optimum is the
+        # drifted map and it undoes the correction).
+        loop_group = (W[kf_l] > 0) | (jnp.arange(m.kf_capacity) == kf_l)
+        B = ms.observation_matrix(m)
+        seen_by_loop = (jnp.sum(B[:, :] * loop_group[None, :], axis=1) > 0) & m.pt_valid
+        score = seen_by_loop.astype(jnp.float32)
+        _, cand_pids = jax.lax.top_k(score, 2048)
+        cand_valid = seen_by_loop[cand_pids]
+        group_ids = np.nonzero(np.asarray(group_mask))[0]
+        for gk in group_ids[:12]:
+            m = _fuse_into_keyframe(
+                m, jnp.int32(int(gk)), cand_pids.astype(jnp.int32),
+                cand_valid, self.cam,
+                jnp.asarray(pyr_ops.scale_factors(
+                    self.settings.orb.n_levels, self.settings.orb.scale_factor)),
+            )
+
+        # Global refinement (the reference's background GBA).
+        if self.enable_gba:
+            m = global_bundle_adjustment(m, self.cam, self.inv_sigma2, rounds=6)
+        m = ms.update_point_stats(m)
+        return m
+
+
+# ---------------------------------------------------------------------------
+# SearchAndFuse (LoopClosing.cc:≈470)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _fuse_into_keyframe(
+    m: ms.MapState,
+    kf_id: jnp.ndarray,
+    cand_pids: jnp.ndarray,     # (L,) loop-side point ids
+    cand_valid: jnp.ndarray,    # (L,)
+    cam,
+    scale_factors: jnp.ndarray,
+) -> ms.MapState:
+    """Project loop-side points into one (corrected) keyframe and rebind
+    matching keypoint slots to them — the Fuse/Replace pass that creates
+    cross-seam BA constraints.  Without it, bundle adjustment's optimum is
+    the drifted map and it undoes the pose-graph correction."""
+    from ..ops.hamming import TH_LOW, match_descriptors
+
+    T = m.kf_pose_cw[kf_id]
+    p_w = m.pt_pos[cand_pids]
+    p_c = se3_apply(T, p_w)
+    z = p_c[:, 2]
+    uv = jnp.stack(
+        [cam.fx * p_c[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+         cam.fy * p_c[:, 1] / jnp.maximum(z, 1e-6) + cam.cy], -1
+    )
+    O_w = -T[:3, :3].T @ T[:3, 3]
+    dist = jnp.linalg.norm(p_w - O_w, axis=-1)
+    vis = (
+        cand_valid & m.pt_valid[cand_pids] & (z > 0.1)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    pred_level = ms.predict_scale(dist, m.pt_max_dist[cand_pids])
+    kp_xy = m.kf_xy[kf_id]
+    kp_valid = m.kf_kp_valid[kf_id]
+    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
+    rr = (4.0 * scale_factors[pred_level]) ** 2
+    lvl_ok = jnp.abs(m.kf_level[kf_id][None, :] - pred_level[:, None]) <= 1
+    mres = match_descriptors(
+        m.pt_desc[cand_pids], vis, m.kf_desc[kf_id], kp_valid,
+        pair_mask=(d2 <= rr[:, None]) & lvl_ok,
+        max_dist=TH_LOW, ratio=1.0,
+    )
+    # Rebind matched slots to the loop-side point (Replace semantics).
+    row = m.kf_point[kf_id]
+    tgt = jnp.where(mres.ok, mres.idx, 0)
+    incoming = jnp.full_like(row, ms.NO_POINT).at[tgt].set(
+        jnp.where(mres.ok, cand_pids, ms.NO_POINT), mode="drop"
+    )
+    row_new = jnp.where(incoming >= 0, incoming, row)
+    return m._replace(kf_point=m.kf_point.at[kf_id].set(row_new))

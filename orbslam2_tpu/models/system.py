@@ -24,6 +24,20 @@ class Sensor:
     RGBD = "rgbd"
 
 
+def _default_vocabulary(seed: int = 0):
+    """Small built-in vocabulary (k=10, L=3 -> 1000 words) trained on
+    seeded random descriptors.  For real datasets pass a vocabulary built
+    from representative data or converted from ORBvoc.txt
+    (utils/vocab.py) — the reference requires one at construction."""
+    import numpy as np
+
+    from ..ops.bow import train_vocabulary
+
+    rng = np.random.default_rng(seed)
+    train = rng.integers(0, 2**32, (6000, 8), dtype=np.uint32)
+    return train_vocabulary(train, k=10, levels=3, seed=seed)
+
+
 class SlamSystem:
     """``SlamSystem(settings, sensor)`` then ``track_*`` per frame.
 
@@ -38,14 +52,33 @@ class SlamSystem:
         sensor: str = Sensor.MONOCULAR,
         enable_mapping: bool = True,
         vocabulary: Optional[object] = None,
+        enable_loop_closing: bool = True,
     ):
+        from .kf_database import KeyframeDatabase
+        from .loop_closing import LoopCloser
+
         self.settings = settings
         self.sensor = sensor
         self.local_mapper = (
             LocalMapper(settings) if enable_mapping else None
         )
-        self.tracker = Tracker(settings, local_mapper=self.local_mapper)
-        self.vocabulary = vocabulary
+        self.vocabulary = (
+            vocabulary if vocabulary is not None else _default_vocabulary()
+        )
+        self.database = KeyframeDatabase(
+            self.vocabulary, settings.tpu.max_keyframes
+        )
+        # Scale is observable (fixed) for stereo/RGB-D (System.cc:≈95's
+        # bFixScale wiring).
+        self.loop_closer = (
+            LoopCloser(settings, self.database, fix_scale=(sensor != Sensor.MONOCULAR))
+            if enable_loop_closing
+            else None
+        )
+        self.tracker = Tracker(
+            settings, local_mapper=self.local_mapper,
+            database=self.database, loop_closer=self.loop_closer,
+        )
         self.localization_only = False
         self.timestamps = []
 
@@ -75,7 +108,19 @@ class SlamSystem:
         self.tracker.local_mapper = self.local_mapper
 
     def reset(self):
-        self.tracker = Tracker(self.settings, local_mapper=self.local_mapper)
+        from .kf_database import KeyframeDatabase
+
+        self.database = KeyframeDatabase(
+            self.vocabulary, self.settings.tpu.max_keyframes
+        )
+        if self.loop_closer is not None:
+            self.loop_closer.db = self.database
+            self.loop_closer.loop_edges = []
+            self.loop_closer.candidate_streak = {}
+        self.tracker = Tracker(
+            self.settings, local_mapper=self.local_mapper,
+            database=self.database, loop_closer=self.loop_closer,
+        )
         self.timestamps = []
 
     def shutdown(self):

@@ -34,7 +34,7 @@ from ..ops import matcher, twoview
 from ..ops import pyramid as pyr_ops
 from ..ops.extractor import Features, OrbExtractor
 from ..ops.hamming import TH_HIGH, TH_LOW, match_descriptors
-from ..solvers.lie import se3_apply, se3_inverse
+from ..solvers.lie import orthonormalize_se3, se3_apply, se3_inverse
 from ..solvers.pose_opt import PoseObs, pose_optimization
 from ..utils.camera import CameraModel, in_image
 from . import map_state as ms
@@ -184,6 +184,7 @@ def track_local_map(
     cam: CameraModel,
     scale_factors: jnp.ndarray,
     inv_sigma2_lut: jnp.ndarray,
+    radius_mult: jnp.ndarray = jnp.float32(1.0),
 ):
     """SearchLocalPoints + final pose optimization (Tracking.cc:≈930-1180).
 
@@ -223,7 +224,7 @@ def track_local_map(
     pred_level = ms.predict_scale(dist, m.pt_max_dist[local_ids])
     # Viewing-angle-dependent radius (reference: 2.5 px if cos>0.998 else
     # 4.0, times the predicted octave's scale factor).
-    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    r = jnp.where(view_cos > 0.998, 2.5, 4.0) * radius_mult
     d2 = jnp.sum((uv[:, None, :] - frame.xy[None, :, :]) ** 2, axis=-1)
     rr = (r * scale_factors[pred_level]) ** 2
     extra_mask = d2 <= rr[:, None]
@@ -300,20 +301,25 @@ def add_points(
     good: jnp.ndarray,       # (M,) which slots are real new points
     ref_kf: jnp.ndarray,     # scalar keyframe id
 ) -> Tuple[ms.MapState, jnp.ndarray]:
-    """Append up to M points; returns (map, ids (M,) with -1 where not added).
+    """Insert up to M points into FREE pool slots (slots of culled points
+    are reused — the pool is a free-list, not an append-only log; without
+    reuse a long sequence exhausts the pool and the map stops growing).
 
-    Compacts the good entries to the front so the pool stays dense.
+    Returns (map, ids (M,) with -1 where not added).
     """
     M = pos.shape[0]
+    P = m.pt_capacity
     order = jnp.argsort(~good)  # good entries first (stable)
     pos_s = pos[order]
     desc_s = desc[order]
     good_s = good[order]
     n_new = jnp.sum(good).astype(jnp.int32)
-    base = m.n_pt
-    offs = jnp.arange(M, dtype=jnp.int32)
-    slot = jnp.clip(base + offs, 0, m.pt_capacity - 1)
-    write = good_s & (base + offs < m.pt_capacity)
+    # Lowest-index free slots (score: free first, then low index).
+    free_score = jnp.where(m.pt_valid, -1.0, 1.0) - jnp.arange(P) * (1.0 / P)
+    _, free_slots = jax.lax.top_k(free_score, M)
+    slot = free_slots.astype(jnp.int32)
+    slot_free = ~m.pt_valid[slot]
+    write = good_s & slot_free
 
     m = m._replace(
         pt_pos=m.pt_pos.at[slot].set(
@@ -337,7 +343,7 @@ def add_points(
         pt_found=m.pt_found.at[slot].set(
             jnp.where(write, 1, m.pt_found[slot])
         ),
-        n_pt=jnp.minimum(base + n_new, m.pt_capacity),
+        n_pt=jnp.minimum(m.n_pt + n_new, m.pt_capacity),
     )
     # ids in ORIGINAL (unsorted) order:
     inv = jnp.argsort(order)
@@ -379,8 +385,11 @@ class Tracker:
     (mlRelativeFramePoses, Tracking.cc:≈480).
     """
 
-    def __init__(self, settings: Settings, local_mapper=None):
+    def __init__(self, settings: Settings, local_mapper=None,
+                 database=None, loop_closer=None):
         self.settings = settings
+        self.database = database
+        self.loop_closer = loop_closer
         self.cam = settings.camera_model()
         orb = settings.orb
         self.extractor = OrbExtractor(orb, settings.tpu)
@@ -468,11 +477,16 @@ class Tracker:
             )
             ok = int(n_in) >= 10
 
+        weak = (
+            len(self.n_tracked_history) == 0
+            or self.n_tracked_history[-1] < 50
+        )
+        rmult = jnp.float32(2.0 if weak else 1.0)
         if ok:
             local_ids, local_valid = gather_local_points(self.map, bindings)
             T, bindings, n_in, self.map = track_local_map(
                 self.map, frame, T, bindings, local_ids, local_valid,
-                self.cam, self.scale_factors, self.inv_sigma2,
+                self.cam, self.scale_factors, self.inv_sigma2, rmult,
             )
             ok = int(n_in) >= 30
 
@@ -485,16 +499,20 @@ class Tracker:
                 self.map, frame, jnp.int32(self.ref_kf), self.last_T,
                 self.inv_sigma2, self.cam,
             )
-            if int(n_in) >= 10:
+            if int(n_in) >= 6:
+                # Even a weak ref-KF pose is often rescued by the local-map
+                # top-up (wide windows) — gate on the FINAL inlier count.
                 local_ids, local_valid = gather_local_points(self.map, bindings)
                 T, bindings, n_in, self.map = track_local_map(
                     self.map, frame, T, bindings, local_ids, local_valid,
                     self.cam, self.scale_factors, self.inv_sigma2,
+                    jnp.float32(2.0),
                 )
                 ok = int(n_in) >= 30
 
         if ok:
             self.state = TrackState.OK
+            T = orthonormalize_se3(T)
             if self.last_T is not None:
                 self.velocity = T @ np.asarray(se3_inverse(self.last_T))
             self.last_T = T
@@ -504,6 +522,13 @@ class Tracker:
         else:
             self.state = TrackState.LOST
             self.velocity = None
+
+        if self.state == TrackState.LOST and self.database is not None:
+            ok_reloc, T, bindings, n_in = self._relocalize(frame)
+            if ok_reloc:
+                self.state = TrackState.OK
+                self.last_T = T
+                self.n_tracked_history.append(int(n_in))
 
         self._log_pose(frame)
         self._finish_frame(frame, bindings if ok else None)
@@ -567,6 +592,9 @@ class Tracker:
         )
         m = ms.update_point_stats(m)
         self.map = m
+        if self.database is not None:
+            self.database.add_keyframe(int(kf0), self.init_ref.desc, self.init_ref.valid)
+            self.database.add_keyframe(int(kf1), frame.desc, frame.valid)
         self.ref_kf = int(kf1)
         self.last_T = T21
         self.last_bindings = bind1
@@ -590,6 +618,8 @@ class Tracker:
         )
         m = ms.update_point_stats(m)
         self.map = m
+        if self.database is not None:
+            self.database.add_keyframe(int(kf0), frame.desc, frame.valid)
         self.ref_kf = int(kf0)
         self.last_T = T0
         self.last_bindings = bind
@@ -628,6 +658,32 @@ class Tracker:
             need = need or (n_close_tracked < 100 and n_close_total > 70)
         return need and frames_since >= 1
 
+    def _relocalize(self, frame: Frame):
+        """Tracking::Relocalization (Tracking.cc:≈1310): BoW candidates ->
+        PnP RANSAC -> pose polish -> local-map top-up; accept at the local
+        inlier gate."""
+        cands = self.database.detect_relocalization_candidates(
+            self.map, frame.desc, frame.valid
+        )
+        for c in cands:
+            self.init_key, sub = jax.random.split(self.init_key)
+            T, bindings, n_in, n_match, pnp_ok = relocalize_candidate(
+                self.map, frame, jnp.int32(int(c)), self.inv_sigma2,
+                self.cam, sub,
+            )
+            if not bool(pnp_ok) or int(n_in) < 10:
+                continue
+            local_ids, local_valid = gather_local_points(self.map, bindings)
+            T, bindings, n_in, self.map = track_local_map(
+                self.map, frame, T, bindings, local_ids, local_valid,
+                self.cam, self.scale_factors, self.inv_sigma2,
+            )
+            if int(n_in) >= 30:
+                self.ref_kf = int(c)
+                self.last_bindings = bindings
+                return True, T, bindings, int(n_in)
+        return False, None, None, 0
+
     def _th_depth(self) -> float:
         c = self.settings.camera
         return c.th_depth * c.bf / c.fx if c.bf > 0 else 1e9
@@ -649,16 +705,33 @@ class Tracker:
         self.ref_kf = int(kf_id)
         self.last_kf_frame_id = self.frame_id
         self.last_bindings = bindings
+        if self.database is not None:
+            self.database.add_keyframe(int(kf_id), frame.desc, frame.valid)
         if self.local_mapper is not None:
             self.map = self.local_mapper.process_keyframe(self.map, int(kf_id))
+        if self.loop_closer is not None:
+            self.map = self.loop_closer.process_keyframe(self.map, int(kf_id))
+        # Mapping may have culled points whose slots can be reused; scrub
+        # the host-held bindings so they can't re-attach to reused slots.
+        self.last_bindings = jnp.where(
+            self.map.pt_valid[jnp.maximum(self.last_bindings, 0)]
+            & (self.last_bindings >= 0),
+            self.last_bindings, NO_POINT,
+        )
 
     # -- bookkeeping -------------------------------------------------------
 
     def _log_pose(self, frame: Frame):
+        # Store the RELATIVE pose to the reference keyframe (the reference's
+        # mlRelativeFramePoses, Tracking.cc:≈480): the absolute trajectory
+        # is replayed against the CURRENT (loop-corrected) keyframe poses
+        # at export time, so corrections reach every frame.
+        T_rw = np.asarray(self.map.kf_pose_cw[self.ref_kf])
+        T_cr = np.asarray(self.last_T) @ np.linalg.inv(T_rw)
         self.trajectory.append(
             (
                 self.frame_id,
-                np.asarray(self.last_T),
+                T_cr,
                 self.ref_kf,
                 self.state != TrackState.OK,
             )
@@ -677,8 +750,59 @@ class Tracker:
     # -- outputs -----------------------------------------------------------
 
     def poses_wc(self) -> np.ndarray:
-        """(F, 4, 4) camera-to-world trajectory estimate."""
+        """(F, 4, 4) camera-to-world trajectory, replayed against the
+        current (loop-corrected) keyframe poses (System::SaveTrajectory*'s
+        Tcr * Trw reconstruction)."""
+        kf_poses = np.asarray(self.map.kf_pose_cw)
         out = []
-        for _, T_cw, _, _ in self.trajectory:
+        for _, T_cr, ref, _ in self.trajectory:
+            T_cw = T_cr @ kf_poses[ref]
             out.append(np.linalg.inv(T_cw))
         return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Relocalization (Tracking::Relocalization, src/Tracking.cc:≈1310)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def relocalize_candidate(
+    m: ms.MapState,
+    frame: Frame,
+    kf_id: jnp.ndarray,
+    inv_sigma2_lut: jnp.ndarray,
+    cam: CameraModel,
+    key: jnp.ndarray,
+):
+    """One relocalization attempt against a candidate keyframe: match the
+    frame's descriptors to the keyframe's bound map points, batched PnP
+    RANSAC, then the shared LM pose polish.  Returns (T, bindings, n_in)."""
+    from ..ops.pnp import pnp_ransac
+
+    kf_pts = m.kf_point[kf_id]
+    kf_has = (kf_pts >= 0) & m.kf_kp_valid[kf_id]
+    pid = jnp.where(kf_has, kf_pts, 0)
+    src_ok = kf_has & m.pt_valid[pid]
+    mres = match_descriptors(
+        m.kf_desc[kf_id], src_ok, frame.desc, frame.valid,
+        max_dist=TH_LOW, ratio=0.75, cross_check=True,
+    )
+    # 2D-3D correspondences: frame keypoint <- map point.
+    bindings = jnp.full(frame.xy.shape[0], NO_POINT, jnp.int32)
+    tgt = jnp.where(mres.ok, mres.idx, 0)
+    bindings = bindings.at[tgt].set(
+        jnp.where(mres.ok, pid, NO_POINT), mode="drop"
+    )
+    bound = bindings >= 0
+    bpid = jnp.where(bound, bindings, 0)
+    inv_s2 = inv_sigma2_lut[jnp.clip(frame.level, 0, inv_sigma2_lut.shape[0] - 1)]
+    pres = pnp_ransac(
+        frame.xy, m.pt_pos[bpid], bound & frame.valid & m.pt_valid[bpid],
+        inv_s2, cam, key,
+    )
+    obs = _pose_obs_from_bindings(m, frame, bindings, inv_sigma2_lut)
+    res = pose_optimization(pres.T_cw, obs, cam)
+    bindings = jnp.where(res.inlier, bindings, NO_POINT)
+    n_matches = jnp.sum(obs.valid)
+    return res.T_cw, bindings, res.n_inliers, n_matches, pres.ok

@@ -1,0 +1,218 @@
+"""Bag-of-binary-words place recognition.
+
+TPU-native replacement for DBoW2 (Thirdparty/DBoW2, SURVEY.md §2.2):
+
+  * Vocabulary = flat arrays (node descriptors + child tables) instead of a
+    pointer tree; ``transform`` descends L levels with a batched
+    argmin-over-children Hamming step per level — all keypoints of a frame
+    in parallel (the 6-dependent-gathers concern of SURVEY.md §7, batched).
+  * BowVector = dense tf-idf row (vocab sizes used here are 10^3-10^5;
+    the 10^6-word ORBvoc stays feasible via the sparse scorer below).
+  * L1 scoring (DBoW2::L1Scoring, used by ORB-SLAM2) over a keyframe
+    database = one matmul-like reduction against the stacked BoW matrix —
+    the inverted file of KeyFrameDatabase (src/KeyFrameDatabase.cc:≈55)
+    becomes a dense score kernel.
+  * Vocabulary training = hierarchical k-medians with bit-majority medians
+    (the DBoW2 build recipe) on host numpy; ORBvoc.txt conversion is in
+    utils/vocab.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    """Flat hierarchical vocabulary.
+
+    node_desc:  (n_nodes, 8) uint32 — node cluster centers (packed)
+    children:   (n_nodes, k) int32  — child node ids (-1 none)
+    word_id:    (n_nodes,) int32    — leaf word id, -1 for internal nodes
+    idf:        (n_words,) float32  — inverse document frequency weights
+    levels:     int — tree depth
+    """
+
+    node_desc: jnp.ndarray
+    children: jnp.ndarray
+    word_id: jnp.ndarray
+    idf: jnp.ndarray
+    levels: int
+
+    @property
+    def n_words(self) -> int:
+        return self.idf.shape[0]
+
+
+def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, 8) x (m, 8) uint32 -> (n, m) int popcount distance (numpy)."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _bit_majority(descs: np.ndarray) -> np.ndarray:
+    """Median binary descriptor: per-bit majority vote. (n, 8) -> (8,)."""
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # (n, 256)
+    maj = (bits.mean(0) >= 0.5).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def train_vocabulary(
+    descriptors: np.ndarray,
+    k: int = 10,
+    levels: int = 3,
+    seed: int = 0,
+    iters: int = 8,
+) -> Vocabulary:
+    """Hierarchical k-medians over packed binary descriptors.
+
+    DBoW2 uses k=10, L=6 for ORBvoc; tests use smaller trees.  Empty
+    branches get copies of their parent center so the tree stays complete
+    (fixed shape).
+    """
+    rng = np.random.default_rng(seed)
+    descriptors = np.asarray(descriptors, np.uint32).reshape(-1, 8)
+
+    nodes_desc = [np.zeros(8, np.uint32)]  # root (unused center)
+    children: list = [[]]
+    node_items = {0: descriptors}
+    frontier = [0]
+    for level in range(levels):
+        new_frontier = []
+        for node in frontier:
+            items = node_items.pop(node, None)
+            if items is None or len(items) == 0:
+                items = np.zeros((0, 8), np.uint32)
+            # k-medians on this node's items.
+            if len(items) >= k:
+                centers = items[rng.choice(len(items), k, replace=False)]
+                for _ in range(iters):
+                    d = _hamming_np(items, centers)
+                    assign = d.argmin(1)
+                    centers = np.stack(
+                        [
+                            _bit_majority(items[assign == j])
+                            if np.any(assign == j)
+                            else centers[j]
+                            for j in range(k)
+                        ]
+                    )
+                d = _hamming_np(items, centers)
+                assign = d.argmin(1)
+            else:
+                centers = np.tile(
+                    nodes_desc[node][None, :], (k, 1)
+                )
+                if len(items):
+                    centers[: len(items)] = items
+                assign = (
+                    np.arange(len(items)) if len(items) else np.zeros(0, int)
+                )
+            ids = []
+            for j in range(k):
+                nid = len(nodes_desc)
+                nodes_desc.append(np.asarray(centers[j], np.uint32))
+                children.append([])
+                ids.append(nid)
+                if level < levels - 1:
+                    node_items[nid] = items[assign == j]
+            children[node] = ids
+            new_frontier.extend(ids)
+        frontier = new_frontier
+
+    n_nodes = len(nodes_desc)
+    child_arr = np.full((n_nodes, k), -1, np.int32)
+    for i, ch in enumerate(children):
+        for j, c in enumerate(ch):
+            child_arr[i, j] = c
+    word_id = np.full(n_nodes, -1, np.int32)
+    leaves = [i for i in range(n_nodes) if not children[i] and i != 0]
+    for w, i in enumerate(leaves):
+        word_id[i] = w
+
+    return Vocabulary(
+        node_desc=jnp.asarray(np.stack(nodes_desc)),
+        children=jnp.asarray(child_arr),
+        word_id=jnp.asarray(word_id),
+        idf=jnp.ones(len(leaves), jnp.float32),
+        levels=levels,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def _descend(
+    desc: jnp.ndarray,
+    node_desc: jnp.ndarray,
+    children: jnp.ndarray,
+    word_id: jnp.ndarray,
+    levels: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched tree descent: (N, 8) descriptors -> (N,) word ids + (N,)
+    level-1 ancestor node id (the 'FeatureVector node' used by SearchByBoW
+    pruning — DBoW2 levelsup semantics)."""
+
+    def dist_to(nodes, d):
+        # nodes: (N, k) node ids; d: (N, 8)
+        cd = node_desc[jnp.maximum(nodes, 0)]  # (N, k, 8)
+        x = jnp.bitwise_xor(cd, d[:, None, :])
+        dist = jnp.sum(jax.lax.population_count(x), axis=-1)
+        return jnp.where(nodes >= 0, dist, 1 << 30)
+
+    cur = jnp.zeros(desc.shape[0], jnp.int32)  # root
+    ancestor1 = cur
+    for level in range(levels):
+        ch = children[cur]  # (N, k)
+        d = dist_to(ch, desc)
+        best = jnp.argmin(d, axis=-1)
+        cur = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+        if level == 0:
+            ancestor1 = cur
+    return word_id[cur], ancestor1
+
+
+class BowTransformer:
+    """Frame descriptors -> dense tf-idf BoW row + feature node ids.
+
+    Equivalent of TemplatedVocabulary::transform (DBoW2) producing both the
+    BowVector (scores) and the FeatureVector (node grouping).
+    """
+
+    def __init__(self, vocab: Vocabulary):
+        self.vocab = vocab
+
+    def __call__(self, desc: jnp.ndarray, valid: jnp.ndarray):
+        v = self.vocab
+        words, nodes = _descend(
+            desc, v.node_desc, v.children, v.word_id, v.levels
+        )
+        words = jnp.where(valid, words, -1)
+        bow = _bow_row(words, v.idf, v.n_words)
+        return bow, words, nodes
+
+
+@functools.partial(jax.jit, static_argnames=("n_words",))
+def _bow_row(words: jnp.ndarray, idf: jnp.ndarray, n_words: int) -> jnp.ndarray:
+    """Sparse word list -> L1-normalized dense tf-idf row."""
+    ok = words >= 0
+    w = jnp.where(ok, words, 0)
+    row = jnp.zeros((n_words,), jnp.float32).at[w].add(
+        ok.astype(jnp.float32) * idf[w]
+    )
+    s = jnp.sum(jnp.abs(row))
+    return row / jnp.maximum(s, 1e-9)
+
+
+@jax.jit
+def l1_scores(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 score of a query BoW row vs all database rows.
+
+    score = 1 - 0.5 * sum|q - d|  (= sum over common words of
+    0.5*(|q|+|d|-|q-d|) for L1-normalized vectors) — the scoring
+    ORB-SLAM2's KeyFrameDatabase uses.
+    (K, W) database x (W,) query -> (K,) scores in [0, 1].
+    """
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(database - query[None, :]), axis=-1)

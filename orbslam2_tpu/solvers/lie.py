@@ -68,7 +68,10 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Log map: (..., 3, 3) -> (..., 3) axis-angle.  Safe near 0 and pi."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # Clamp strictly inside (-1, 1): arccos' blows up at the endpoints and
+    # poisons autodiff (the pose-graph/Sim3 solvers differentiate through
+    # this log at zero-residual edges, i.e. exactly at the endpoint).
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_t = jnp.sin(theta)
@@ -87,7 +90,9 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     # Fix the sign so that it is consistent with w (w ~ sin(theta)*axis ~ 0 at pi,
     # sign is ambiguous there; either is a valid log).
     phi_pi = axis * theta[..., None]
-    near_pi = (jnp.pi - theta) < 1e-4
+    # Threshold must exceed the arccos clamp margin (arccos(-1 + 1e-7) =
+    # pi - ~4.5e-4) so angles at the clamp still take the pi branch.
+    near_pi = (jnp.pi - theta) < 1e-3
     return jnp.where(near_pi[..., None], phi_pi, phi_generic)
 
 
@@ -234,3 +239,21 @@ def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray, dtype=jnp.float32) -> jnp.ndar
     b = jnp.where(small_theta & ~eps_sigma, b_t0, b)
     c = jnp.where(small_theta, jnp.where(eps_sigma, 1.0 / 6.0, c), c)
     return A[..., None, None] * I + b[..., None, None] * Phi + c[..., None, None] * Phi2
+
+
+def orthonormalize_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block of (..., 4, 4) SE3 back onto SO(3) via
+    SVD (nearest rotation).  The tracking velocity model composes
+    T_t (T_{t-1})^-1 every frame, which amplifies any determinant error
+    geometrically — re-projection at the tracking boundary keeps the chain
+    on the manifold.
+    """
+    R = T[..., :3, :3]
+    U, _, Vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
+    D = jnp.concatenate(
+        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None],
+         det[..., None]], axis=-1
+    )
+    R_clean = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt)
+    return rt_to_mat(R_clean, T[..., :3, 3])

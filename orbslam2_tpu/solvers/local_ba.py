@@ -233,8 +233,13 @@ def local_bundle_adjustment(
     kf_point = kf_point.at[cam_ids].set(
         jnp.where(used[:, None], new_rows, m.kf_point[cam_ids])
     )
+    from .lie import orthonormalize_se3
+
     kf_pose = m.kf_pose_cw.at[cam_ids].set(
-        jnp.where(used[:, None, None], poses, m.kf_pose_cw[cam_ids])
+        jnp.where(
+            used[:, None, None], orthonormalize_se3(poses),
+            m.kf_pose_cw[cam_ids],
+        )
     )
     pt_pos = jnp.where(pt_in[:, None], pts, m.pt_pos)
     return m._replace(kf_pose_cw=kf_pose, kf_point=kf_point, pt_pos=pt_pos)

@@ -1,0 +1,106 @@
+"""Vocabulary IO: ORBvoc.txt conversion + packed npz save/load.
+
+The reference loads DBoW2's 44 MB ``ORBvoc.txt`` at startup (~10-20 s,
+System.cc:≈55 — SURVEY.md §2.3).  We convert it ONCE to packed arrays
+(ops/bow.Vocabulary) and load the npz in milliseconds thereafter — the
+'ship a converter to a packed binary form' item from SURVEY.md §2.3.
+
+ORBvoc.txt format (DBoW2 TemplatedVocabulary::loadFromTextFile,
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:≈1300):
+  line 1: 'k L scoring_type weighting_type'
+  then one line per node (preorder, root implicit):
+    parent_id is_leaf d0 d1 ... d31 weight
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.bow import Vocabulary
+
+
+def load_orbvoc_text(path: str) -> Vocabulary:
+    """Parse DBoW2's ORBvoc.txt into a packed Vocabulary."""
+    import jax.numpy as jnp
+
+    with open(path, "r") as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, leaves, descs, weights = [], [], [], []
+        for line in f:
+            p = line.split()
+            if len(p) < 35:
+                continue
+            parents.append(int(p[0]))
+            leaves.append(int(p[1]) != 0)
+            descs.append([int(x) for x in p[2:34]])
+            weights.append(float(p[34]))
+
+    n = len(parents) + 1  # + root
+    node_desc = np.zeros((n, 32), np.uint8)
+    node_parent = np.full(n, -1, np.int64)
+    is_leaf = np.zeros(n, bool)
+    weight = np.zeros(n, np.float64)
+    for i in range(len(parents)):
+        node_desc[i + 1] = descs[i]
+        node_parent[i + 1] = parents[i]
+        is_leaf[i + 1] = leaves[i]
+        weight[i + 1] = weights[i]
+
+    children = np.full((n, k), -1, np.int32)
+    counts = np.zeros(n, np.int64)
+    for i in range(1, n):
+        p = node_parent[i]
+        if 0 <= p < n and counts[p] < k:
+            children[p, counts[p]] = i
+            counts[p] += 1
+
+    word_id = np.full(n, -1, np.int32)
+    leaf_ids = np.nonzero(is_leaf)[0]
+    idf = np.zeros(len(leaf_ids), np.float32)
+    for w, i in enumerate(leaf_ids):
+        word_id[i] = w
+        idf[w] = weight[i]
+
+    packed = (
+        node_desc.reshape(n, 8, 4)
+        .astype(np.uint32)
+    )
+    packed = (
+        packed[:, :, 0]
+        | (packed[:, :, 1] << 8)
+        | (packed[:, :, 2] << 16)
+        | (packed[:, :, 3] << 24)
+    )
+
+    return Vocabulary(
+        node_desc=jnp.asarray(packed),
+        children=jnp.asarray(children),
+        word_id=jnp.asarray(word_id),
+        idf=jnp.asarray(idf),
+        levels=L,
+    )
+
+
+def save_vocabulary(vocab: Vocabulary, path: str) -> None:
+    np.savez_compressed(
+        path,
+        node_desc=np.asarray(vocab.node_desc),
+        children=np.asarray(vocab.children),
+        word_id=np.asarray(vocab.word_id),
+        idf=np.asarray(vocab.idf),
+        levels=np.int32(vocab.levels),
+    )
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    return Vocabulary(
+        node_desc=jnp.asarray(z["node_desc"]),
+        children=jnp.asarray(z["children"]),
+        word_id=jnp.asarray(z["word_id"]),
+        idf=jnp.asarray(z["idf"]),
+        levels=int(z["levels"]),
+    )

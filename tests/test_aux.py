@@ -1,0 +1,87 @@
+"""Auxiliary subsystems: checkpoint/resume, vocabulary IO, relocalization."""
+
+import numpy as np
+import pytest
+
+from orbslam2_tpu.models import map_state as ms
+from orbslam2_tpu.ops import bow as bow_mod
+from orbslam2_tpu.utils import checkpoint, vocab as vocab_io
+
+
+class TestCheckpoint:
+    def test_map_roundtrip(self, tmp_path, rng):
+        m = ms.make_empty_map(8, 64, 32)
+        import jax.numpy as jnp
+
+        m = m._replace(
+            pt_pos=jnp.asarray(rng.normal(size=(64, 3)), jnp.float32),
+            pt_valid=jnp.asarray(rng.uniform(size=64) > 0.5),
+            n_kf=jnp.int32(3),
+        )
+        p = str(tmp_path / "map.npz")
+        checkpoint.save_map(m, p)
+        m2 = checkpoint.load_map(p)
+        for name in ms.MapState._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(m, name)), np.asarray(getattr(m2, name)),
+                err_msg=name,
+            )
+
+
+class TestVocabIO:
+    def test_npz_roundtrip(self, tmp_path, rng):
+        descs = rng.integers(0, 2**32, (1000, 8), dtype=np.uint32)
+        v = bow_mod.train_vocabulary(descs, k=5, levels=2, seed=0)
+        p = str(tmp_path / "voc.npz")
+        vocab_io.save_vocabulary(v, p)
+        v2 = vocab_io.load_vocabulary(p)
+        np.testing.assert_array_equal(v.node_desc, v2.node_desc)
+        np.testing.assert_array_equal(v.children, v2.children)
+        assert v2.levels == 2
+
+    def test_orbvoc_text_parse(self, tmp_path, rng):
+        # Tiny synthetic tree in DBoW2's text format: k=2, L=1, 2 leaves.
+        lines = ["2 1 0 0"]
+        for parent, leaf in ((0, 1), (0, 1)):
+            d = " ".join(str(int(x)) for x in rng.integers(0, 256, 32))
+            lines.append(f"{parent} {leaf} {d} 0.5")
+        p = tmp_path / "voc.txt"
+        p.write_text("\n".join(lines) + "\n")
+        v = vocab_io.load_orbvoc_text(str(p))
+        assert v.n_words == 2
+        assert int((np.asarray(v.word_id) >= 0).sum()) == 2
+        assert np.asarray(v.children)[0, 0] == 1
+
+
+class TestRelocalization:
+    def test_recovers_after_kidnap(self):
+        """Track a sequence, kidnap the camera (skip frames), verify
+        relocalization re-acquires the pose — Tracking::Relocalization's
+        role, exercised end-to-end."""
+        from tests.test_slam_e2e import small_settings
+
+        from orbslam2_tpu.models.system import Sensor, SlamSystem
+        from orbslam2_tpu.models.tracking import TrackState
+        from orbslam2_tpu.utils import synthetic
+
+        s = small_settings(bf=32.0)
+        cam = s.camera_model()
+        seq = synthetic.make_sequence(
+            cam, n_frames=14, n_points=400, with_depth=True, seed=11
+        )
+        sys = SlamSystem(s, Sensor.RGBD, enable_loop_closing=False)
+        for i in range(8):
+            sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
+        assert sys.tracking_state() == TrackState.OK
+        # Kidnap: jump straight back to frame 2's viewpoint (well inside
+        # the map) after poisoning the motion model with a bogus velocity.
+        sys.tracker.velocity = None
+        sys.tracker.last_T = np.eye(4) * 1.0  # stale pose far from truth
+        import jax.numpy as jnp
+
+        sys.tracker.last_T = jnp.asarray(np.eye(4), jnp.float32)
+        sys.track_rgbd(seq.images[2], seq.depths[2], seq.timestamps[2])
+        assert sys.tracking_state() == TrackState.OK
+        est = np.linalg.inv(np.asarray(sys.tracker.last_T))[:3, 3]
+        gt = seq.poses_wc[2][:3, 3]
+        assert np.linalg.norm(est - gt) < 0.1, (est, gt)

@@ -25,7 +25,7 @@ def small_settings(bf=0.0, th_depth=40.0):
             depth_map_factor=1.0,
         ),
         orb=OrbSettings(n_features=800, n_levels=4),
-        tpu=TpuSettings(max_keypoints=1024, max_keyframes=32, max_points=4096,
+        tpu=TpuSettings(max_keypoints=1024, max_keyframes=96, max_points=8192,
                         min_init_matches=50),
     )
 
@@ -126,3 +126,57 @@ class TestStereoSlam:
         est = sys.poses_wc()
         ate = synthetic.ate_rmse(est, seq.poses_wc, with_scale=False)
         assert ate < 0.08, f"stereo ATE {ate:.4f} m"
+
+
+class TestLoopClosing:
+    def test_loop_detected_and_corrected(self):
+        """Circular RGB-D trajectory revisiting its start: a loop edge must
+        fire between an early and a late keyframe, and the loop-closed
+        trajectory must not be worse than the odometry-only one."""
+        s = small_settings(bf=160.0)
+        cam = s.camera_model()
+        seq = synthetic.make_loop_sequence(
+            cam, n_frames=84, circle_radius=1.5, with_depth=True, seed=5
+        )
+        # Vocabulary trained on representative descriptors (the reference
+        # ships ORBvoc trained on real images; same role).
+        import numpy as np
+
+        from orbslam2_tpu.ops.bow import train_vocabulary
+        from orbslam2_tpu.ops.extractor import OrbExtractor
+
+        ex = OrbExtractor(s.orb, s.tpu)
+        descs = np.concatenate([
+            (lambda f: np.asarray(f.desc)[np.asarray(f.valid)])(ex(seq.images[i]))
+            for i in range(0, 84, 6)
+        ])
+        vocab = train_vocabulary(descs, k=10, levels=4, seed=0)
+
+        results = {}
+        for lc_on in (True, False):
+            sys = SlamSystem(s, Sensor.RGBD, vocabulary=vocab,
+                             enable_loop_closing=lc_on)
+            # Amplify odometric drift so the revisit does NOT seamlessly
+            # reconnect through covisibility (when tracking is accurate the
+            # map closes itself and no loop-closure is needed — correct but
+            # untestable); drifty odometry forces the BoW+Sim3 path.
+            sys.local_mapper.enable_ba = False
+            states = []
+            for i in range(84):
+                sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
+                states.append(sys.tracking_state())
+            ate = synthetic.ate_rmse(sys.poses_wc(), seq.poses_wc,
+                                     with_scale=False)
+            loops = (
+                [(a, b) for a, b, _ in sys.loop_closer.loop_edges]
+                if sys.loop_closer else []
+            )
+            results[lc_on] = (ate, loops, states.count(2))
+
+        ate_lc, loops, lost = results[True]
+        ate_no, _, _ = results[False]
+        assert loops, "no loop edge fired on a closed circular trajectory"
+        a, b = loops[0]
+        assert b - a > 30, f"loop edge {loops[0]} does not span the circle"
+        assert ate_lc < ate_no, (ate_lc, ate_no)
+        assert ate_lc < 0.5, f"loop-closed ATE {ate_lc}"
