@@ -20,32 +20,53 @@ from ..ops.bow import Vocabulary
 
 
 def load_orbvoc_text(path: str) -> Vocabulary:
-    """Parse DBoW2's ORBvoc.txt into a packed Vocabulary."""
+    """Parse DBoW2's ORBvoc.txt into a packed Vocabulary.
+
+    Uses the native C++ streaming parser (utils/native.py) when available
+    — ~20-40x faster than the Python loop on the 44 MB ORBvoc — with a
+    pure-Python fallback."""
     import jax.numpy as jnp
 
-    with open(path, "r") as f:
-        header = f.readline().split()
-        k, L = int(header[0]), int(header[1])
-        parents, leaves, descs, weights = [], [], [], []
-        for line in f:
-            p = line.split()
-            if len(p) < 35:
-                continue
-            parents.append(int(p[0]))
-            leaves.append(int(p[1]) != 0)
-            descs.append([int(x) for x in p[2:34]])
-            weights.append(float(p[34]))
+    from .native import parse_orbvoc_fast
 
-    n = len(parents) + 1  # + root
-    node_desc = np.zeros((n, 32), np.uint8)
-    node_parent = np.full(n, -1, np.int64)
-    is_leaf = np.zeros(n, bool)
-    weight = np.zeros(n, np.float64)
-    for i in range(len(parents)):
-        node_desc[i + 1] = descs[i]
-        node_parent[i + 1] = parents[i]
-        is_leaf[i + 1] = leaves[i]
-        weight[i + 1] = weights[i]
+    fast = parse_orbvoc_fast(path)
+    if fast is not None:
+        header, parents_a, leaves_a, descs_a, weights_a = fast
+        k, L = int(header[0]), int(header[1])
+        parents = parents_a.tolist()
+        n = len(parents) + 1  # + root
+        node_desc = np.zeros((n, 32), np.uint8)
+        node_parent = np.full(n, -1, np.int64)
+        is_leaf = np.zeros(n, bool)
+        weight = np.zeros(n, np.float64)
+        node_desc[1:] = descs_a
+        node_parent[1:] = parents_a
+        is_leaf[1:] = leaves_a
+        weight[1:] = weights_a
+    else:
+        with open(path, "r") as f:
+            header = f.readline().split()
+            k, L = int(header[0]), int(header[1])
+            parents, leaves, descs, weights = [], [], [], []
+            for line in f:
+                p = line.split()
+                if len(p) < 35:
+                    continue
+                parents.append(int(p[0]))
+                leaves.append(int(p[1]) != 0)
+                descs.append([int(x) for x in p[2:34]])
+                weights.append(float(p[34]))
+
+        n = len(parents) + 1  # + root
+        node_desc = np.zeros((n, 32), np.uint8)
+        node_parent = np.full(n, -1, np.int64)
+        is_leaf = np.zeros(n, bool)
+        weight = np.zeros(n, np.float64)
+        for i in range(len(parents)):
+            node_desc[i + 1] = descs[i]
+            node_parent[i + 1] = parents[i]
+            is_leaf[i + 1] = leaves[i]
+            weight[i + 1] = weights[i]
 
     children = np.full((n, k), -1, np.int32)
     counts = np.zeros(n, np.int64)
