@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out", default="/tmp/orbslam2_tpu_out")
     ap.add_argument("--no-ba", action="store_true")
+    ap.add_argument("--viewer", action="store_true",
+                    help="write map/frame PNG snapshots (viewer-lite)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -93,6 +95,26 @@ def main():
     print(f"mean tracking time:   {sum(times)/len(times)*1e3:.1f} ms")
 
     os.makedirs(args.out, exist_ok=True)
+    if args.viewer:
+        import numpy as np
+
+        from orbslam2_tpu.utils import viewer
+
+        viewer.draw_map(
+            system.map, os.path.join(args.out, "map.png"),
+            trajectory=system.poses_wc(),
+            gt_trajectory=seq.poses_wc,
+        )
+        f = system.tracker.last_frame
+        viewer.draw_frame(
+            seq.images[-1] if args.sensor != "stereo" else seq.images[-1][0],
+            np.asarray(f.xy)[np.asarray(f.valid)],
+            (np.asarray(system.tracker.last_bindings) >= 0)[np.asarray(f.valid)],
+            os.path.join(args.out, "frame.png"),
+            state_text=f"KFs {int(system.map.n_kf)}  "
+                       f"points {int(system.map.pt_valid.sum())}",
+        )
+        print(f"viewer snapshots: {args.out}/map.png, frame.png")
     system.save_trajectory_tum(os.path.join(args.out, "CameraTrajectory.txt"))
     system.save_keyframe_trajectory_tum(
         os.path.join(args.out, "KeyFrameTrajectory.txt")

@@ -99,13 +99,16 @@ class SlamSystem:
     # -- modes / reset (System::ActivateLocalizationMode, Reset) ----------
 
     def activate_localization_mode(self):
-        """Tracking-only: pause mapping (the reference stops LocalMapping)."""
+        """Tracking-only: pause mapping and keyframe insertion (the
+        reference stops LocalMapping and sets mbOnlyTracking)."""
         self.localization_only = True
         self.tracker.local_mapper = None
+        self.tracker.localization_only = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
         self.tracker.local_mapper = self.local_mapper
+        self.tracker.localization_only = False
 
     def reset(self):
         from .kf_database import KeyframeDatabase

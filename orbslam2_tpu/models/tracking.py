@@ -405,6 +405,7 @@ class Tracker:
             settings.tpu.max_keypoints,
         )
         self.local_mapper = local_mapper
+        self.localization_only = False  # Tracking::InformOnlyTracking
         self.state = TrackState.NOT_INITIALIZED
         self.frame_id = 0
         self.last_frame: Optional[Frame] = None
@@ -634,6 +635,8 @@ class Tracker:
         """Tracking::NeedNewKeyFrame (Tracking.cc:≈980), simplified to the
         load-bearing conditions: reference-keyframe match ratio + max frame
         gap + close-point starvation (stereo/RGB-D)."""
+        if self.localization_only:  # mbOnlyTracking: never insert
+            return False
         if int(self.map.n_kf) >= self.map.kf_capacity - 1:
             return False
         frames_since = self.frame_id - self.last_kf_frame_id

@@ -171,11 +171,13 @@ def remap_bilinear(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray) -> np.
     h, w = img.shape
     x0 = np.floor(map_x).astype(np.int64)
     y0 = np.floor(map_y).astype(np.int64)
-    fx = map_x - x0
-    fy = map_y - y0
-    valid = (x0 >= 0) & (x0 < w - 1) & (y0 >= 0) & (y0 < h - 1)
+    valid = (map_x >= 0) & (map_x <= w - 1) & (map_y >= 0) & (map_y <= h - 1)
     x0c = np.clip(x0, 0, w - 2)
     y0c = np.clip(y0, 0, h - 2)
+    # Fractions relative to the CLIPPED base so exact-boundary coordinates
+    # (e.g. the last row, y = h-1) interpolate to the boundary pixel.
+    fx = map_x - x0c
+    fy = map_y - y0c
     a = img[y0c, x0c]
     b = img[y0c, x0c + 1]
     c = img[y0c + 1, x0c]

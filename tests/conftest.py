@@ -26,6 +26,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped + name-seeded (stable crc32, not PYTHONHASHSEED-
+    # dependent hash()): each test's data is deterministic and independent
+    # of which other tests ran (a session-scoped generator made tests
+    # order-dependent).
+    import zlib
+
+    seed = zlib.crc32(request.node.name.encode())
+    return np.random.default_rng(seed)

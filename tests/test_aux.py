@@ -85,3 +85,34 @@ class TestRelocalization:
         est = np.linalg.inv(np.asarray(sys.tracker.last_T))[:3, 3]
         gt = seq.poses_wc[2][:3, 3]
         assert np.linalg.norm(est - gt) < 0.1, (est, gt)
+
+
+class TestLocalizationMode:
+    def test_localization_only_tracks_without_map_growth(self):
+        """System::ActivateLocalizationMode: tracking continues against the
+        frozen map; no new keyframes or points are created."""
+        from tests.test_slam_e2e import small_settings
+
+        from orbslam2_tpu.models.system import Sensor, SlamSystem
+        from orbslam2_tpu.models.tracking import TrackState
+        from orbslam2_tpu.utils import synthetic
+
+        s = small_settings(bf=32.0)
+        cam = s.camera_model()
+        seq = synthetic.make_sequence(
+            cam, n_frames=14, n_points=400, with_depth=True, seed=11
+        )
+        sys = SlamSystem(s, Sensor.RGBD, enable_loop_closing=False)
+        for i in range(7):
+            sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
+        sys.activate_localization_mode()
+        n_kf = int(sys.map.n_kf)
+        n_pt = int(np.asarray(sys.map.pt_valid).sum())
+        for i in range(7, 14):
+            sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
+        assert sys.tracking_state() == TrackState.OK
+        assert int(sys.map.n_kf) == n_kf, "localization mode must not add KFs"
+        assert int(np.asarray(sys.map.pt_valid).sum()) == n_pt
+        est = sys.poses_wc()
+        ate = synthetic.ate_rmse(est, seq.poses_wc, with_scale=False)
+        assert ate < 0.1, ate
