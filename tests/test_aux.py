@@ -116,3 +116,30 @@ class TestLocalizationMode:
         est = sys.poses_wc()
         ate = synthetic.ate_rmse(est, seq.poses_wc, with_scale=False)
         assert ate < 0.1, ate
+
+
+class TestDeterminism:
+    def test_repeated_runs_identical(self):
+        """SURVEY.md §7: the reference is nondeterministic (thread timing +
+        DUtils::Random); we guarantee bitwise-identical trajectories for
+        identical inputs (fixed jax.random keys, no thread races)."""
+        from tests.test_slam_e2e import small_settings
+
+        from orbslam2_tpu.models.system import Sensor, SlamSystem
+        from orbslam2_tpu.utils import synthetic
+
+        s = small_settings(bf=32.0)
+        cam = s.camera_model()
+        seq = synthetic.make_sequence(
+            cam, n_frames=8, n_points=400, with_depth=True, seed=11
+        )
+
+        def run():
+            sys = SlamSystem(s, Sensor.RGBD, enable_loop_closing=False)
+            for i in range(8):
+                sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
+            return sys.poses_wc()
+
+        t1 = run()
+        t2 = run()
+        np.testing.assert_array_equal(t1, t2)
