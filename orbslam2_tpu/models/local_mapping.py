@@ -211,11 +211,71 @@ def cull_keyframes(m: ms.MapState, current_kf: jnp.ndarray) -> ms.MapState:
     return m._replace(kf_valid=kf_valid, kf_parent=parent)
 
 
+@jax.jit
+def fuse_with_neighbor(
+    m: ms.MapState,
+    kf_a: jnp.ndarray,
+    kf_b: jnp.ndarray,
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+) -> ms.MapState:
+    """One direction of SearchInNeighbors (LocalMapping.cc:≈370): project
+    kf_a's bound map points into kf_b; where they land on a keypoint that
+    is bound to a DIFFERENT point, rebind it to kf_a's point (Replace — the
+    duplicate decays through observation-count culling); where the keypoint
+    is unbound, bind it (new observation)."""
+    from ..ops.hamming import TH_LOW, match_descriptors
+
+    pts_a = m.kf_point[kf_a]
+    src_ok = (pts_a >= 0) & m.kf_kp_valid[kf_a] & m.kf_valid[kf_a] & m.kf_valid[kf_b]
+    pid = jnp.where(pts_a >= 0, pts_a, 0)
+    src_ok = src_ok & m.pt_valid[pid]
+
+    T = m.kf_pose_cw[kf_b]
+    p_c = se3_apply(T, m.pt_pos[pid])
+    z = p_c[:, 2]
+    uv = jnp.stack(
+        [cam.fx * p_c[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+         cam.fy * p_c[:, 1] / jnp.maximum(z, 1e-6) + cam.cy], -1
+    )
+    O_w = -T[:3, :3].T @ T[:3, 3]
+    dist = jnp.linalg.norm(m.pt_pos[pid] - O_w, axis=-1)
+    vis = (
+        src_ok & (z > 0.1) & in_image(cam, uv)
+        & (dist >= 0.8 * m.pt_min_dist[pid])
+        & (dist <= 1.2 * m.pt_max_dist[pid])
+    )
+    pred_level = ms.predict_scale(dist, m.pt_max_dist[pid])
+    d2 = jnp.sum((uv[:, None, :] - m.kf_xy[kf_b][None, :, :]) ** 2, axis=-1)
+    rr = (3.0 * scale_factors[pred_level]) ** 2
+    lvl_ok = jnp.abs(m.kf_level[kf_b][None, :] - pred_level[:, None]) <= 1
+    mres = match_descriptors(
+        m.pt_desc[pid], vis, m.kf_desc[kf_b], m.kf_kp_valid[kf_b],
+        pair_mask=(d2 <= rr[:, None]) & lvl_ok, max_dist=TH_LOW, ratio=1.0,
+    )
+    row = m.kf_point[kf_b]
+    tgt = jnp.where(mres.ok, mres.idx, 0)
+    incoming = jnp.full_like(row, NO_POINT).at[tgt].set(
+        jnp.where(mres.ok, pid, NO_POINT), mode="drop"
+    )
+    # Only BIND unbound keypoints (add observations).  Replacing existing
+    # bindings (the reference's full Replace) is reserved for the loop-
+    # closing fuse: on repetitive texture a windowed TH_LOW match can
+    # rebind a correct association to a nearby wrong point and poison BA.
+    row_new = jnp.where((row < 0) & (incoming >= 0), incoming, row)
+    return m._replace(kf_point=m.kf_point.at[kf_b].set(row_new))
+
+
 class LocalMapper:
     """Host-side driver for the per-keyframe mapping sequence."""
 
     def __init__(self, settings: Settings, enable_ba: bool = True,
-                 enable_kf_culling: bool = True):
+                 enable_kf_culling: bool = True, enable_fuse: bool = False):
+        # enable_fuse: SearchInNeighbors duplicate fusion.  Off by default
+        # in round 1: on repetitive texture the windowed TH_LOW bind adds
+        # enough wrong cross-KF observations to drag BA (needs the
+        # reference's stricter per-observation chi2 gate + best-observed
+        # Replace policy).  The loop-closing fuse (cross-seam) stays on.
         self.settings = settings
         self.cam = settings.camera_model()
         orb = settings.orb
@@ -228,6 +288,7 @@ class LocalMapper:
         self.inv_sigma2 = 1.0 / self.sigma2
         self.enable_ba = enable_ba
         self.enable_kf_culling = enable_kf_culling
+        self.enable_fuse = enable_fuse
 
     def on_initial_map(self, m: ms.MapState) -> ms.MapState:
         """Post-initialization polish (the reference runs GBA(20) here)."""
@@ -244,6 +305,14 @@ class LocalMapper:
         m = triangulate_new_points(
             m, kf, self.cam, self.scale_factors, self.sigma2
         )
+        if self.enable_fuse:
+            # SearchInNeighbors: fuse duplicates with the best covisible
+            # neighbors, both directions (LocalMapping.cc:≈370).
+            neighbor_ids, weights = ms.best_covisible(m, kf, 2)
+            for i in range(2):
+                nb = neighbor_ids[i]
+                m = fuse_with_neighbor(m, kf, nb, self.cam, self.scale_factors)
+                m = fuse_with_neighbor(m, nb, kf, self.cam, self.scale_factors)
         m = ms.update_point_stats(m)
         if self.enable_ba:
             m = local_bundle_adjustment(m, kf, self.cam, self.inv_sigma2)

@@ -216,3 +216,65 @@ def l1_scores(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
     (K, W) database x (W,) query -> (K,) scores in [0, 1].
     """
     return 1.0 - 0.5 * jnp.sum(jnp.abs(database - query[None, :]), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Sparse (inverted-index-scale) scoring — for ORBvoc-sized vocabularies
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_words",))
+def sparse_bow(
+    words: jnp.ndarray, idf: jnp.ndarray, n_words: int, capacity: int = 0
+):
+    """Frame words -> sparse L1-normalized BoW (word_ids, weights).
+
+    Output arrays have the frame's feature capacity (each feature
+    contributes one word slot; duplicate words keep their full tf-idf sum
+    on the FIRST occurrence and 0 on repeats, so the vector is exact).
+    """
+    N = words.shape[0]
+    ok = words >= 0
+    w = jnp.where(ok, words, n_words)  # invalid -> sentinel bucket
+    order = jnp.argsort(w)
+    ws = w[order]
+    # First occurrence marks the slot that accumulates the word's weight.
+    first = jnp.concatenate([jnp.array([True]), ws[1:] != ws[:-1]])
+    # tf-idf accumulation per word via dense scatter into a [n_words+1] tmp
+    # would defeat the point at 1M words for the per-frame path; instead use
+    # segment sums over the sorted copy.
+    contrib = jnp.where(ws < n_words, idf[jnp.minimum(ws, n_words - 1)], 0.0)
+    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # (N,) run index
+    totals = jnp.zeros((N,), jnp.float32).at[run_id].add(contrib)
+    slot_weight = jnp.where(first & (ws < n_words), totals[run_id], 0.0)
+    norm = jnp.sum(slot_weight)
+    slot_weight = slot_weight / jnp.maximum(norm, 1e-9)
+    slot_word = jnp.where(first & (ws < n_words), ws, -1)
+    return slot_word.astype(jnp.int32), slot_weight
+
+
+@functools.partial(jax.jit, static_argnames=("n_words",))
+def l1_scores_sparse(
+    query_words: jnp.ndarray,     # (Nq,) int32 sparse word ids (-1 pad)
+    query_weights: jnp.ndarray,   # (Nq,) float32 (L1-normalized)
+    db_words: jnp.ndarray,        # (K, S) int32 (-1 pad)
+    db_weights: jnp.ndarray,      # (K, S) float32 (L1-normalized rows)
+    n_words: int,
+) -> jnp.ndarray:
+    """DBoW2 L1 score against a sparse database — scales to ORBvoc (10^6
+    words): only ONE dense row (the query) is materialized; each database
+    row is scored with S gathers (the inverted-file access pattern as a
+    gather kernel).
+
+    score = 1 - 0.5 * sum|q - d| = sum_{common w} 0.5 (|q_w|+|d_w|-|q_w-d_w|)
+    """
+    q_dense = jnp.zeros((n_words,), jnp.float32)
+    ok = query_words >= 0
+    q_dense = q_dense.at[jnp.where(ok, query_words, 0)].add(
+        jnp.where(ok, query_weights, 0.0)
+    )
+    d_ok = db_words >= 0
+    q_at = q_dense[jnp.where(d_ok, db_words, 0)] * d_ok  # (K, S)
+    dw = jnp.where(d_ok, db_weights, 0.0)
+    common = 0.5 * jnp.sum(q_at + dw - jnp.abs(q_at - dw), axis=-1)
+    return common

@@ -278,3 +278,89 @@ class TestGlobalBA:
         m2 = global_bundle_adjustment(m, cam, jnp.ones(8), rounds=8)
         e1 = mean_chi2(m2)
         assert e1 < 0.25 * e0, (e0, e1)
+
+
+class TestSparseBow:
+    def test_sparse_matches_dense(self, rng):
+        train = rand_desc(rng, 4000)
+        vocab = bow_mod.train_vocabulary(train, k=10, levels=3, seed=0)
+        tf = bow_mod.BowTransformer(vocab)
+        d1, d2 = rand_desc(rng, 300), rand_desc(rng, 300)
+        valid = jnp.ones(300, bool)
+        b1, w1, _ = tf(jnp.asarray(d1), valid)
+        b2, w2, _ = tf(jnp.asarray(d2), valid)
+        sw1, swt1 = bow_mod.sparse_bow(w1, vocab.idf, vocab.n_words)
+        sw2, swt2 = bow_mod.sparse_bow(w2, vocab.idf, vocab.n_words)
+        dense = float(bow_mod.l1_scores(b1, b2[None])[0])
+        sparse = float(bow_mod.l1_scores_sparse(
+            sw1, swt1, sw2[None], swt2[None], vocab.n_words)[0])
+        np.testing.assert_allclose(sparse, dense, atol=1e-5)
+        # Self-score is exactly 1 for L1-normalized vectors.
+        self_s = float(bow_mod.l1_scores_sparse(
+            sw1, swt1, sw1[None], swt1[None], vocab.n_words)[0])
+        np.testing.assert_allclose(self_s, 1.0, atol=1e-5)
+
+    def test_partial_validity(self, rng):
+        train = rand_desc(rng, 2000)
+        vocab = bow_mod.train_vocabulary(train, k=8, levels=2, seed=1)
+        tf = bow_mod.BowTransformer(vocab)
+        d = rand_desc(rng, 100)
+        valid = jnp.asarray(np.arange(100) < 60)
+        b, w, _ = tf(jnp.asarray(d), valid)
+        sw, swt = bow_mod.sparse_bow(w, vocab.idf, vocab.n_words)
+        assert abs(float(jnp.sum(swt)) - 1.0) < 1e-5
+        assert int((sw >= 0).sum()) <= 60
+
+
+class TestFuse:
+    def test_fuse_binds_true_duplicates(self, rng):
+        """fuse_with_neighbor must bind kf_a's points to kf_b's matching
+        unbound keypoints when geometry + descriptors agree."""
+        import jax
+        from orbslam2_tpu.models import map_state as ms2
+        from orbslam2_tpu.models.local_mapping import fuse_with_neighbor
+        from orbslam2_tpu.solvers import lie as lie2
+
+        K, N, P = 4, 64, 256
+        m = ms2.make_empty_map(K, P, N)
+        X = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                      rng.uniform(4, 8, N)], -1).astype(np.float32)
+        desc = rand_desc(rng, N)
+        T_a = np.eye(4, dtype=np.float32)
+        T_b = np.asarray(lie2.se3_exp(jnp.asarray(
+            [0.3, 0.0, 0.0, 0.0, 0.02, 0.0], jnp.float32)))
+
+        def project(T):
+            pc = X @ T[:3, :3].T + T[:3, 3]
+            return np.stack([320 * pc[:, 0] / pc[:, 2] + 160,
+                             320 * pc[:, 1] / pc[:, 2] + 120], -1)
+
+        m = m._replace(
+            kf_pose_cw=m.kf_pose_cw.at[0].set(jnp.asarray(T_a)).at[1].set(jnp.asarray(T_b)),
+            kf_xy=m.kf_xy.at[0].set(jnp.asarray(project(T_a), jnp.float32))
+                        .at[1].set(jnp.asarray(project(T_b), jnp.float32)),
+            kf_desc=m.kf_desc.at[0].set(jnp.asarray(desc)).at[1].set(jnp.asarray(desc)),
+            kf_kp_valid=m.kf_kp_valid.at[0].set(True).at[1].set(True),
+            # kf_a observes points 0..N-1; kf_b starts UNBOUND.
+            kf_point=m.kf_point.at[0].set(jnp.arange(N)),
+            kf_valid=m.kf_valid.at[0].set(True).at[1].set(True),
+            pt_pos=m.pt_pos.at[:N].set(jnp.asarray(X)),
+            pt_desc=m.pt_desc.at[:N].set(jnp.asarray(desc)),
+            pt_valid=m.pt_valid.at[:N].set(True),
+            # Scale band centered on the actual viewing distance so
+            # predict_scale lands on octave 0-1 (matching the level-0 kps).
+            pt_max_dist=m.pt_max_dist.at[:N].set(
+                jnp.asarray(np.linalg.norm(X, axis=1) * 1.05, jnp.float32)
+            ),
+            pt_min_dist=m.pt_min_dist.at[:N].set(0.1),
+            n_kf=jnp.int32(2), n_pt=jnp.int32(N),
+        )
+        cam = CAM
+        scales = jnp.asarray([1.2 ** i for i in range(4)], jnp.float32)
+        m2 = fuse_with_neighbor(m, jnp.int32(0), jnp.int32(1), cam, scales)
+        bound = np.asarray(m2.kf_point[1])
+        n_bound = int((bound >= 0).sum())
+        assert n_bound > N * 0.6, f"only {n_bound} fused bindings"
+        # Bindings must be the CORRECT point ids (keypoint i <-> point i).
+        idx = np.nonzero(bound >= 0)[0]
+        assert np.mean(bound[idx] == idx) > 0.95
