@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--viewer", action="store_true",
                     help="write map/frame PNG snapshots (viewer-lite)")
+    ap.add_argument("--profile", action="store_true",
+                    help="write a jax.profiler trace to OUT/trace")
     args = ap.parse_args()
 
     if args.cpu:
@@ -71,6 +73,12 @@ def main():
     if args.no_ba and system.local_mapper is not None:
         system.local_mapper.enable_ba = False
 
+    if args.profile:
+        import jax
+
+        os.makedirs(args.out, exist_ok=True)
+        jax.profiler.start_trace(os.path.join(args.out, "trace"))
+
     times = []
     for i in range(args.frames):
         t0 = time.perf_counter()
@@ -90,9 +98,16 @@ def main():
             f"t={times[-1]*1e3:7.1f} ms"
         )
 
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.out}/trace")
+
     times_sorted = sorted(times[2:] or times)
     print(f"median tracking time: {times_sorted[len(times_sorted)//2]*1e3:.1f} ms")
     print(f"mean tracking time:   {sum(times)/len(times)*1e3:.1f} ms")
+    print("metrics:", system.metrics())
 
     os.makedirs(args.out, exist_ok=True)
     if args.viewer:

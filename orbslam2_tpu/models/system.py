@@ -139,6 +139,18 @@ class SlamSystem:
     def tracking_state(self) -> int:
         return self.tracker.state
 
+    def metrics(self) -> dict:
+        """Structured observability snapshot (SURVEY.md §5): counters +
+        map size, replacing the reference's cout prints and the
+        FrameDrawer status bar."""
+        m = dict(self.tracker.metrics)
+        m["n_keyframes"] = int(self.map.kf_valid.sum())
+        m["n_points"] = int(self.map.pt_valid.sum())
+        m["n_loop_closures"] = (
+            len(self.loop_closer.loop_edges) if self.loop_closer else 0
+        )
+        return m
+
     def poses_wc(self) -> np.ndarray:
         return self.tracker.poses_wc()
 

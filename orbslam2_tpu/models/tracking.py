@@ -419,6 +419,16 @@ class Tracker:
         # Trajectory: list of (frame_id, T_cw 4x4 numpy, ref_kf, is_lost)
         self.trajectory = []
         self.n_tracked_history = []
+        # Structured per-frame metrics (SURVEY.md §5 observability: the
+        # FrameDrawer status line + TRO-table counters as data).
+        self.metrics = {
+            "frames": 0,
+            "frames_lost": 0,
+            "relocalizations": 0,
+            "keyframes_created": 0,
+            "last_inliers": 0,
+            "track_path": "",  # motion | refkf | reloc | none
+        }
 
     # -- frame entry points ------------------------------------------------
 
@@ -511,6 +521,10 @@ class Tracker:
                 )
                 ok = int(n_in) >= 30
 
+        self.metrics["frames"] += 1
+        self.metrics["track_path"] = (
+            "motion" if used_motion and ok else ("refkf" if ok else "none")
+        )
         if ok:
             self.state = TrackState.OK
             T = orthonormalize_se3(T)
@@ -518,11 +532,13 @@ class Tracker:
                 self.velocity = T @ np.asarray(se3_inverse(self.last_T))
             self.last_T = T
             self.n_tracked_history.append(int(n_in))
+            self.metrics["last_inliers"] = int(n_in)
             if self._need_new_keyframe(frame, bindings, int(n_in), sensor):
                 self._create_keyframe(frame, T, bindings, sensor)
         else:
             self.state = TrackState.LOST
             self.velocity = None
+            self.metrics["frames_lost"] += 1
 
         if self.state == TrackState.LOST and self.database is not None:
             ok_reloc, T, bindings, n_in = self._relocalize(frame)
@@ -530,6 +546,8 @@ class Tracker:
                 self.state = TrackState.OK
                 self.last_T = T
                 self.n_tracked_history.append(int(n_in))
+                self.metrics["relocalizations"] += 1
+                self.metrics["track_path"] = "reloc" 
 
         self._log_pose(frame)
         self._finish_frame(frame, bindings if ok else None)
@@ -705,6 +723,7 @@ class Tracker:
         )
         m = ms.update_point_stats(m)
         self.map = m
+        self.metrics["keyframes_created"] += 1
         self.ref_kf = int(kf_id)
         self.last_kf_frame_id = self.frame_id
         self.last_bindings = bindings
