@@ -270,7 +270,8 @@ class LocalMapper:
     """Host-side driver for the per-keyframe mapping sequence."""
 
     def __init__(self, settings: Settings, enable_ba: bool = True,
-                 enable_kf_culling: bool = True, enable_fuse: bool = False):
+                 enable_kf_culling: bool = True, enable_fuse: bool = False,
+                 sensor: str = "mono"):
         # enable_fuse: SearchInNeighbors duplicate fusion.  Off by default
         # in round 1: on repetitive texture the windowed TH_LOW bind adds
         # enough wrong cross-KF observations to drag BA (needs the
@@ -289,6 +290,10 @@ class LocalMapper:
         self.enable_ba = enable_ba
         self.enable_kf_culling = enable_kf_culling
         self.enable_fuse = enable_fuse
+        # Mono needs a wider triangulation neighborhood for parallax (the
+        # reference uses 20 covisible neighbors mono vs 10 stereo/RGB-D,
+        # LocalMapping.cc:≈190); scaled to our smaller local windows.
+        self.n_tri_neighbors = 8 if sensor == "mono" else 4
 
     def on_initial_map(self, m: ms.MapState) -> ms.MapState:
         """Post-initialization polish (the reference runs GBA(20) here)."""
@@ -303,7 +308,8 @@ class LocalMapper:
         kf = jnp.int32(kf_id)
         m = cull_map_points(m)
         m = triangulate_new_points(
-            m, kf, self.cam, self.scale_factors, self.sigma2
+            m, kf, self.cam, self.scale_factors, self.sigma2,
+            n_neighbors=self.n_tri_neighbors,
         )
         if self.enable_fuse:
             # SearchInNeighbors: fuse duplicates with the best covisible

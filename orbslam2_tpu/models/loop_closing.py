@@ -153,12 +153,32 @@ class LoopCloser:
             return None
 
         S0 = sim3_to_mat(rres.R12, rres.t12, rres.s12)
+
+        # SearchBySim3: enrich matches by mutual projection under S0
+        # (ORBmatcher.cc:≈810), then refine on the union.
+        scale_factors = jnp.asarray(pyr_ops.scale_factors(
+            self.settings.orb.n_levels, self.settings.orb.scale_factor))
+        idx_l2, agree = search_by_sim3(
+            m, jnp.int32(kf_c), jnp.int32(kf_l), S0, self.cam, scale_factors
+        )
+        # Union with the BoW matches: prefer existing pairs, add agreed ones.
+        use_new = agree & ~mres.ok
+        idx_union = jnp.where(use_new, idx_l2, mres.idx)
+        ok_union = mres.ok | use_new
+        pid_l_u = pid_l_all[idx_union]
+        pair_ok_u = ok_union & m.pt_valid[pid_c] & m.pt_valid[pid_l_u]
+        p_l_u = se3_apply(m.kf_pose_cw[kf_l], m.pt_pos[pid_l_u])
+        lvl_l_u = jnp.clip(
+            m.kf_level[kf_l][idx_union], 0, self.sigma2.shape[0] - 1
+        )
+        seed_inliers = jnp.where(use_new, pair_ok_u, rres.inliers & pair_ok_u)
+
         uv_c = m.kf_xy[kf_c]
-        uv_l = m.kf_xy[kf_l][mres.idx]
+        uv_l = m.kf_xy[kf_l][idx_union]
         ores = optimize_sim3(
-            S0, p_c, p_l, uv_c, uv_l,
-            self.inv_sigma2[lvl_c], self.inv_sigma2[lvl_l],
-            rres.inliers, self.cam, fix_scale=self.fix_scale,
+            S0, p_c, p_l_u, uv_c, uv_l,
+            self.inv_sigma2[lvl_c], self.inv_sigma2[lvl_l_u],
+            seed_inliers, self.cam, fix_scale=self.fix_scale,
         )
         if int(ores.n_inliers) < 20:
             return None
@@ -299,3 +319,71 @@ def _fuse_into_keyframe(
     )
     row_new = jnp.where(incoming >= 0, incoming, row)
     return m._replace(kf_point=m.kf_point.at[kf_id].set(row_new))
+
+
+# ---------------------------------------------------------------------------
+# SearchBySim3 (ORBmatcher::SearchBySim3, src/ORBmatcher.cc:≈810)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def search_by_sim3(
+    m: ms.MapState,
+    kf_c: jnp.ndarray,
+    kf_l: jnp.ndarray,
+    S_CL: jnp.ndarray,
+    cam,
+    scale_factors: jnp.ndarray,
+):
+    """Bidirectional projection matching under a Sim3 estimate: project the
+    loop KF's bound points into the current KF's image via S_CL (and the
+    current KF's points into the loop image via S_CL^-1) and accept
+    agreeing pairs.  Returns (idx_c (N,), idx_l (N,), ok (N,)): per-current-
+    slot matched loop slot.
+    """
+    from ..ops.hamming import TH_HIGH, match_descriptors
+
+    def project_pts(S_ab, kf_b, kf_a):
+        # Points bound in kf_b, expressed in kf_b's camera, mapped into
+        # kf_a's camera via S_ab, projected into kf_a's image.
+        pts_b = m.kf_point[kf_b]
+        ok_b = (pts_b >= 0) & m.kf_kp_valid[kf_b] & m.pt_valid[
+            jnp.maximum(pts_b, 0)
+        ]
+        pid = jnp.where(ok_b, pts_b, 0)
+        p_cam_b = se3_apply(m.kf_pose_cw[kf_b], m.pt_pos[pid])
+        p_cam_a = sim3_apply(S_ab, p_cam_b)
+        z = p_cam_a[:, 2]
+        uv = jnp.stack(
+            [cam.fx * p_cam_a[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+             cam.fy * p_cam_a[:, 1] / jnp.maximum(z, 1e-6) + cam.cy], -1
+        )
+        vis = ok_b & (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+        return uv, vis, pid
+
+    # Loop -> current direction.
+    uv_lc, vis_lc, pid_l = project_pts(S_CL, kf_l, kf_c)
+    lvl = jnp.clip(m.kf_level[kf_l], 0, scale_factors.shape[0] - 1)
+    r = 7.0 * scale_factors[lvl]
+    d2 = jnp.sum((uv_lc[:, None, :] - m.kf_xy[kf_c][None, :, :]) ** 2, -1)
+    m1 = match_descriptors(
+        m.kf_desc[kf_l], vis_lc, m.kf_desc[kf_c], m.kf_kp_valid[kf_c],
+        pair_mask=d2 <= (r[:, None] ** 2), max_dist=TH_HIGH, ratio=1.0,
+    )
+    # Current -> loop direction.
+    S_LC = sim3_inverse_mat(S_CL)
+    uv_cl, vis_cl, pid_c = project_pts(S_LC, kf_c, kf_l)
+    lvl_c = jnp.clip(m.kf_level[kf_c], 0, scale_factors.shape[0] - 1)
+    r_c = 7.0 * scale_factors[lvl_c]
+    d2c = jnp.sum((uv_cl[:, None, :] - m.kf_xy[kf_l][None, :, :]) ** 2, -1)
+    m2 = match_descriptors(
+        m.kf_desc[kf_c], vis_cl, m.kf_desc[kf_l], m.kf_kp_valid[kf_l],
+        pair_mask=d2c <= (r_c[:, None] ** 2), max_dist=TH_HIGH, ratio=1.0,
+    )
+    # Agreement (the reference's nFound1/nFound2 cross-check): current slot
+    # i matched loop slot m2.idx[i], and loop slot j matched current slot
+    # m1.idx[j]; keep i where m1.idx[m2.idx[i]] == i.
+    j = jnp.where(m2.ok, m2.idx, 0)
+    agree = m2.ok & m1.ok[j] & (m1.idx[j] == jnp.arange(m2.idx.shape[0]))
+    return m2.idx, agree

@@ -60,7 +60,7 @@ class SlamSystem:
         self.settings = settings
         self.sensor = sensor
         self.local_mapper = (
-            LocalMapper(settings) if enable_mapping else None
+            LocalMapper(settings, sensor=sensor) if enable_mapping else None
         )
         self.vocabulary = (
             vocabulary if vocabulary is not None else _default_vocabulary()
