@@ -364,3 +364,41 @@ class TestFuse:
         # Bindings must be the CORRECT point ids (keypoint i <-> point i).
         idx = np.nonzero(bound >= 0)[0]
         assert np.mean(bound[idx] == idx) > 0.95
+
+
+class TestSparseDatabase:
+    def test_sparse_database_matches_dense(self, rng):
+        """A sparse-mode KeyframeDatabase must return the same scores and
+        candidates as the dense mode on the same data."""
+        from orbslam2_tpu.models import map_state as ms2
+        from orbslam2_tpu.models.kf_database import KeyframeDatabase
+        import orbslam2_tpu.models.kf_database as kdb
+
+        train = rand_desc(rng, 4000)
+        vocab = bow_mod.train_vocabulary(train, k=10, levels=3, seed=0)
+        m = ms2.make_empty_map(8, 64, 32)
+        m = m._replace(kf_valid=jnp.ones(8, bool), n_kf=jnp.int32(8))
+
+        dbs = []
+        for force_sparse in (False, True):
+            old = kdb._DENSE_MAX_WORDS
+            kdb._DENSE_MAX_WORDS = 1 if force_sparse else old
+            try:
+                db = KeyframeDatabase(vocab, 8, feat_capacity=128)
+            finally:
+                kdb._DENSE_MAX_WORDS = old
+            assert db.sparse == force_sparse
+            for k in range(6):
+                d = rand_desc(np.random.default_rng(1000 + k), 100)
+                db.add_keyframe(k, jnp.asarray(d), jnp.ones(100, bool))
+            dbs.append(db)
+
+        q = rand_desc(np.random.default_rng(99), 100)
+        s_dense = np.asarray(dbs[0]._scores(jnp.asarray(q), jnp.ones(100, bool)))
+        s_sparse = np.asarray(dbs[1]._scores(jnp.asarray(q), jnp.ones(100, bool)))
+        np.testing.assert_allclose(s_sparse[:6], s_dense[:6], atol=1e-5)
+        c_dense = dbs[0].detect_relocalization_candidates(
+            m, jnp.asarray(q), jnp.ones(100, bool))
+        c_sparse = dbs[1].detect_relocalization_candidates(
+            m, jnp.asarray(q), jnp.ones(100, bool))
+        np.testing.assert_array_equal(c_dense, c_sparse)
