@@ -47,7 +47,7 @@ def main():
         for i in range(3)
     ]
 
-    n_iters = 30
+    n_iters = 60
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = fn(images[i % 3], *args[1:])
