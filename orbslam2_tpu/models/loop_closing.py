@@ -19,7 +19,8 @@ round 1), device compute for every heavy step:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+import functools
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,7 @@ from ..solvers.lie import (
     se3_apply,
     se3_inverse,
     sim3_apply,
+    sim3_exp,
     sim3_from_mat,
     sim3_inverse_mat,
     sim3_to_mat,
@@ -43,6 +45,8 @@ from ..solvers.lie import (
 from ..solvers.sim3_opt import optimize_sim3
 from . import map_state as ms
 from .kf_database import KeyframeDatabase
+
+CHI2_LOOP_REFINE = 10.0
 
 
 class LoopCloser:
@@ -63,6 +67,12 @@ class LoopCloser:
         self.cam = settings.camera_model()
         self.db = database
         self.fix_scale = fix_scale
+        # Odometry-consistency gate parameters (see _compute_sim3): drift
+        # between two keyframes should not exceed this fraction of the
+        # odometric path length between them (with an absolute floor for
+        # short paths).
+        self.max_drift_frac = 0.15
+        self.min_drift_abs = 0.5
         orb = settings.orb
         self.sigma2 = jnp.asarray(
             pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor)
@@ -181,6 +191,68 @@ class LoopCloser:
             seed_inliers, self.cam, fix_scale=self.fix_scale,
         )
         if int(ores.n_inliers) < 20:
+            return None
+
+        # Final false-positive gate (LoopClosing::ComputeSim3 tail,
+        # LoopClosing.cc:≈300): project the loop KF NEIGHBORHOOD's map
+        # points into the current keyframe under the refined Sim3
+        # (SearchByProjection with Scw, ORBmatcher.cc:≈160) and require
+        # >= 40 total matches.  A Sim3 that is merely self-consistent on
+        # its own 20 inlier pairs but wrong (repetitive texture, shared
+        # drifted points) fails this: the wider neighborhood does not
+        # reproject onto descriptor-consistent keypoints.
+        W = ms.covisibility(m)
+        proj = project_loop_matches(
+            m, jnp.int32(kf_c), jnp.int32(kf_l), W, ores.S12, self.cam,
+            scale_factors,
+        )
+        if int(proj.n_matches) < 40:
+            return None
+
+        # Polish the Sim3 on the neighborhood projection matches: a ~10x
+        # larger, better-spread correspondence set than the pairwise BoW
+        # matches used so far, so the correction the pose graph applies is
+        # materially tighter.
+        lvl_m = jnp.clip(
+            m.kf_level[kf_c][proj.idx], 0, self.sigma2.shape[0] - 1
+        )
+        S_ref = refine_sim3_on_projections(
+            ores.S12, proj.p_l, m.kf_xy[kf_c][proj.idx],
+            self.inv_sigma2[lvl_m], proj.ok, self.cam,
+            fix_scale=self.fix_scale,
+        )
+        ores = ores._replace(S12=S_ref)
+
+        # Odometry-consistency gate (robustification beyond the reference,
+        # in the spirit of switchable-constraints / DCS pose-graph
+        # robustifiers): the loop correction fixes accumulated DRIFT, which
+        # is bounded by a fraction of the odometric path length between the
+        # two keyframes.  A Sim3 implying a far larger correction is a
+        # perceptual-aliasing false positive (repetitive structure seen
+        # from a geometrically ambiguous angle) — exactly the failure mode
+        # the reference's >=40 projection gate cannot catch when the wrong
+        # alignment is self-consistent.
+        poses = np.asarray(m.kf_pose_cw)
+        valid = np.asarray(m.kf_valid)
+        T_rel_est = poses[kf_c] @ np.linalg.inv(poses[kf_l])
+        S = np.asarray(ores.S12)
+        s_est = float(np.cbrt(max(np.linalg.det(S[:3, :3]), 1e-12)))
+        D = S @ np.linalg.inv(T_rel_est)
+        dt = float(np.linalg.norm(D[:3, 3]))
+        Rd = D[:3, :3] / np.cbrt(max(np.linalg.det(D[:3, :3]), 1e-12))
+        ang = float(np.degrees(np.arccos(
+            np.clip((np.trace(Rd) - 1.0) / 2.0, -1.0, 1.0)
+        )))
+        lo, hi = sorted((int(kf_l), int(kf_c)))
+        ids = [k for k in range(lo, hi + 1) if valid[k]]
+        centers = np.stack([
+            -poses[k][:3, :3].T @ poses[k][:3, 3] for k in ids
+        ])
+        path_len = float(np.linalg.norm(np.diff(centers, axis=0), axis=1).sum())
+        max_dt = max(self.max_drift_frac * path_len, self.min_drift_abs)
+        max_ang = max(20.0, 0.5 * len(ids))
+        max_ds = 1.0 + self.max_drift_frac
+        if dt > max_dt or ang > max_ang or not (1 / max_ds <= s_est <= max_ds):
             return None
         return ores.S12
 
@@ -319,6 +391,136 @@ def _fuse_into_keyframe(
     )
     row_new = jnp.where(incoming >= 0, incoming, row)
     return m._replace(kf_point=m.kf_point.at[kf_id].set(row_new))
+
+
+# ---------------------------------------------------------------------------
+# Loop-acceptance projection count (SearchByProjection with Scw,
+# ORBmatcher.cc:≈160, as used by LoopClosing::ComputeSim3's >=40 gate)
+# ---------------------------------------------------------------------------
+
+
+class LoopProjMatches(NamedTuple):
+    n_matches: jnp.ndarray  # scalar int32
+    p_l: jnp.ndarray        # (L, 3) candidate points in the LOOP camera frame
+    idx: jnp.ndarray        # (L,) matched current-KF keypoint slot
+    ok: jnp.ndarray         # (L,)
+
+
+@jax.jit
+def project_loop_matches(
+    m: ms.MapState,
+    kf_c: jnp.ndarray,
+    kf_l: jnp.ndarray,
+    W: jnp.ndarray,            # (K, K) covisibility weights
+    S_CL: jnp.ndarray,         # Sim3 current-cam <- loop-cam (4x4, sR | t)
+    cam,
+    scale_factors: jnp.ndarray,
+    n_cand: int = 2048,
+) -> LoopProjMatches:
+    """Match current-KF keypoints by projecting the loop NEIGHBORHOOD's map
+    points (points seen by the loop KF's covisible group) into the current
+    image under S_CL — SearchByProjection with Scw (ORBmatcher.cc:≈160) as
+    used by LoopClosing::ComputeSim3's >=40 acceptance gate."""
+    from ..ops.hamming import TH_LOW, match_descriptors
+
+    loop_group = (W[kf_l] > 0) | (
+        jnp.arange(m.kf_capacity) == kf_l
+    )
+    B = ms.observation_matrix(m)
+    seen = (jnp.sum(B * loop_group[None, :].astype(B.dtype), axis=1) > 0) & m.pt_valid
+    _, pids = jax.lax.top_k(seen.astype(jnp.float32), n_cand)
+    pids = pids.astype(jnp.int32)
+    vis0 = seen[pids]
+
+    # p_c = S_CL ∘ T_lw(p_w)
+    p_l = se3_apply(m.kf_pose_cw[kf_l], m.pt_pos[pids])
+    p_c = sim3_apply(S_CL, p_l)
+    z = p_c[:, 2]
+    uv = jnp.stack(
+        [cam.fx * p_c[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+         cam.fy * p_c[:, 1] / jnp.maximum(z, 1e-6) + cam.cy], -1
+    )
+    vis = (
+        vis0 & (z > 0.1)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    # Scale-band + predicted-level radius as in the reference (th=10).
+    O_l = -m.kf_pose_cw[kf_l][:3, :3].T @ m.kf_pose_cw[kf_l][:3, 3]
+    dist = jnp.linalg.norm(m.pt_pos[pids] - O_l, axis=-1)
+    pred_level = ms.predict_scale(dist, m.pt_max_dist[pids])
+    d2 = jnp.sum((uv[:, None, :] - m.kf_xy[kf_c][None, :, :]) ** 2, axis=-1)
+    rr = (10.0 * scale_factors[pred_level]) ** 2
+    mres = match_descriptors(
+        m.pt_desc[pids], vis, m.kf_desc[kf_c], m.kf_kp_valid[kf_c],
+        pair_mask=d2 <= rr[:, None], max_dist=TH_LOW, ratio=1.0,
+    )
+    return LoopProjMatches(
+        n_matches=jnp.sum(mres.ok), p_l=p_l, idx=mres.idx, ok=mres.ok
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale", "n_iters"))
+def refine_sim3_on_projections(
+    S0: jnp.ndarray,
+    p_l: jnp.ndarray,        # (L, 3) loop-camera-frame points
+    uv_c: jnp.ndarray,       # (L, 2) matched current-image keypoints
+    inv_sigma2: jnp.ndarray, # (L,)
+    valid: jnp.ndarray,      # (L,)
+    cam,
+    fix_scale: bool = False,
+    n_iters: int = 10,
+):
+    """One-directional Sim3 polish on the loop-neighborhood projection
+    matches.  The neighborhood set is ~10x larger and far better spread
+    across the image than the pairwise BoW matches the RANSAC/OptimizeSim3
+    stage used, so this tightens the correction the pose graph will apply.
+    Huber-weighted LM on the 7-dim tangent (scale frozen when fix_scale)."""
+    fix = jnp.float32(1.0 if fix_scale else 0.0)
+    w_obs = inv_sigma2 * valid.astype(jnp.float32)
+    delta_h = jnp.sqrt(jnp.float32(CHI2_LOOP_REFINE))
+
+    def residual(xi, S):
+        xi = xi.at[6].multiply(1.0 - fix)
+        Sx = sim3_exp(xi) @ S
+        p_c = sim3_apply(Sx, p_l)
+        z = jnp.maximum(p_c[:, 2], 1e-6)
+        uv = jnp.stack(
+            [cam.fx * p_c[:, 0] / z + cam.cx,
+             cam.fy * p_c[:, 1] / z + cam.cy], -1
+        )
+        return uv - uv_c
+
+    def weighted_err(S):
+        r = residual(jnp.zeros(7), S)
+        rn = jnp.sqrt(jnp.sum(r * r, -1) * inv_sigma2 + 1e-12)
+        wh = jnp.minimum(1.0, delta_h / jnp.maximum(rn, 1e-12))
+        return jnp.sum(w_obs * wh * jnp.sum(r * r, -1))
+
+    def body(i, carry):
+        S, lam = carry
+
+        def flat(xi):
+            r = residual(xi, S)
+            return (r * jnp.sqrt(w_obs)[:, None]).reshape(-1)
+
+        r0 = flat(jnp.zeros(7))
+        J = jax.jacfwd(flat)(jnp.zeros(7))
+        rn = jnp.sqrt(jnp.sum(r0.reshape(-1, 2) ** 2, -1) + 1e-12)
+        wh = jnp.sqrt(jnp.minimum(1.0, delta_h / jnp.maximum(rn, 1e-12)))
+        r0 = (r0.reshape(-1, 2) * wh[:, None]).reshape(-1)
+        J = (J.reshape(-1, 2, 7) * wh[:, None, None]).reshape(-1, 7)
+        H = J.T @ J + lam * jnp.eye(7)
+        dx = -jnp.linalg.solve(H, J.T @ r0)
+        S_new = sim3_exp(dx.at[6].multiply(1.0 - fix)) @ S
+        accept = weighted_err(S_new) < weighted_err(S)
+        S = jnp.where(accept, S_new, S)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e3)
+        return (S, lam)
+
+    S, _ = jax.lax.fori_loop(0, n_iters, body, (S0, jnp.float32(1e-4)))
+    return S
+
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,258 @@
+"""Fused per-frame tracking: the whole Track() chain as ONE device program.
+
+The reference's Tracking::Track() (src/Tracking.cc:≈340) is a host state
+machine that calls matcher + optimizer repeatedly; our round-1 port kept
+that shape (one jitted program per step), which costs one dispatch round
+trip per step — the measured per-frame wall time was dominated by the
+~60-80 dispatches the host made per frame, not device compute.
+
+This module fuses frame construction (ORB extraction + stereo/depth
+association + undistortion) and the full tracking decision chain
+
+    TrackWithMotionModel (+ doubled-window retry, Tracking.cc:≈880)
+    -> TrackReferenceKeyFrame fallback (≈770)
+    -> TrackLocalMap (≈930)
+    -> ref-KF rescue if the motion path collapsed
+    -> NeedNewKeyFrame decision (≈980)
+    -> velocity + relative-pose (mlRelativeFramePoses) bookkeeping
+
+into a single jitted program using `lax.cond` for the data-dependent
+branches (XLA executes only the taken branch).  The host reads back ONE
+small int vector per frame (ok / n_inliers / need_kf / path) and leaves
+every array on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.extractor import OrbExtractor
+from ..solvers.lie import orthonormalize_se3, se3_inverse
+from ..utils.camera import CameraModel
+from . import map_state as ms
+from .frame import Frame, build_mono_frame, build_rgbd_frame, build_stereo_frame
+from .tracking import (
+    NO_POINT,
+    gather_local_points,
+    track_local_map,
+    track_motion_model,
+    track_reference_keyframe,
+)
+
+# flags vector layout (int32):
+FLAG_OK = 0
+FLAG_N_INLIERS = 1
+FLAG_NEED_KF = 2
+FLAG_PATH = 3  # 0 = lost, 1 = motion model, 2 = reference keyframe
+N_FLAGS = 4
+
+
+class TrackCtx(NamedTuple):
+    """Per-frame tracker context (the device-resident slice of Tracking's
+    member state: mVelocity, last frame, reference KF, KF-policy inputs)."""
+
+    T_last: jnp.ndarray         # (4, 4) last frame pose (world->camera)
+    velocity: jnp.ndarray       # (4, 4) motion model T_cur<-last
+    has_velocity: jnp.ndarray   # bool scalar
+    last_xy: jnp.ndarray        # (N, 2) last frame keypoints
+    last_level: jnp.ndarray     # (N,)
+    last_bindings: jnp.ndarray  # (N,) last frame slot -> point id
+    ref_kf: jnp.ndarray         # int32 reference keyframe id
+    weak: jnp.ndarray           # bool: last frame tracked < 50 points
+    frames_since_kf: jnp.ndarray  # int32
+
+
+class TrackOut(NamedTuple):
+    m: ms.MapState
+    frame: Frame
+    T_cw: jnp.ndarray       # final pose (valid iff flags[FLAG_OK])
+    bindings: jnp.ndarray   # (N,) frame slot -> point id
+    velocity: jnp.ndarray   # (4, 4) new motion model
+    T_cr: jnp.ndarray       # (4, 4) pose relative to ref KF (trajectory log)
+    flags: jnp.ndarray      # (N_FLAGS,) int32
+
+
+def _fused_track(
+    m: ms.MapState,
+    frame: Frame,
+    ctx: TrackCtx,
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    th_depth: float,
+    sensor: str,
+) -> TrackOut:
+    """The Track() chain on device.  All nested jitted steps inline."""
+    N = frame.xy.shape[0]
+    th = 15.0 if sensor == "mono" else 7.0
+    empty_bind = jnp.full((N,), NO_POINT, jnp.int32)
+
+    # --- 1. motion-model tracking with doubled-window retry ---------------
+    def run_motion(radius):
+        T_pred = ctx.velocity @ ctx.T_last
+        T, b, n_in, n_match = track_motion_model(
+            m, frame, T_pred, ctx.last_xy, ctx.last_bindings,
+            ctx.last_level, cam, scale_factors, inv_sigma2,
+            jnp.float32(radius),
+        )
+        return T, b, n_in.astype(jnp.int32), n_match.astype(jnp.int32)
+
+    def motion_path():
+        T1, b1, n1, nm1 = run_motion(th)
+        return jax.lax.cond(
+            nm1 < 20,
+            lambda: run_motion(2.0 * th),
+            lambda: (T1, b1, n1, nm1),
+        )
+
+    T_m, b_m, n_m, _ = jax.lax.cond(
+        ctx.has_velocity,
+        motion_path,
+        lambda: (ctx.T_last, empty_bind, jnp.int32(0), jnp.int32(0)),
+    )
+    ok_motion = ctx.has_velocity & (n_m >= 10)
+
+    # --- 2. reference-keyframe fallback ------------------------------------
+    def refkf_path():
+        T, b, n_in, _ = track_reference_keyframe(
+            m, frame, ctx.ref_kf, ctx.T_last, inv_sigma2, cam
+        )
+        return T, b, n_in.astype(jnp.int32)
+
+    T0, b0, n0 = jax.lax.cond(
+        ok_motion, lambda: (T_m, b_m, n_m), refkf_path
+    )
+    ok0 = n0 >= 10
+
+    # --- 3. local-map tracking ---------------------------------------------
+    def run_local(T, b, rmult):
+        local_ids, local_valid = gather_local_points(m, b)
+        T2, b2, n2, m2 = track_local_map(
+            m, frame, T, b, local_ids, local_valid, cam,
+            scale_factors, inv_sigma2, rmult,
+        )
+        return T2, b2, n2.astype(jnp.int32), m2.pt_visible, m2.pt_found
+
+    rmult = jnp.where(ctx.weak, jnp.float32(2.0), jnp.float32(1.0))
+    T1, b1, n1, ptv1, ptf1 = jax.lax.cond(
+        ok0,
+        lambda: run_local(T0, b0, rmult),
+        lambda: (T0, b0, jnp.int32(0), m.pt_visible, m.pt_found),
+    )
+    ok1 = ok0 & (n1 >= 30)
+
+    # --- 4. ref-KF rescue when the motion path collapsed in TrackLocalMap --
+    def rescue():
+        T, b, n_in = refkf_path()
+        return jax.lax.cond(
+            n_in >= 6,
+            lambda: run_local(T, b, jnp.float32(2.0)),
+            lambda: (T, b, jnp.int32(0), m.pt_visible, m.pt_found),
+        )
+
+    use_rescue = (~ok1) & ok_motion
+    Tf, bf, nf, ptv, ptf = jax.lax.cond(
+        use_rescue, rescue, lambda: (T1, b1, n1, ptv1, ptf1)
+    )
+    ok = nf >= 30
+    m = m._replace(pt_visible=ptv, pt_found=ptf)
+
+    # --- 5. bookkeeping: velocity, trajectory log, keyframe policy ---------
+    T_out = orthonormalize_se3(Tf)
+    velocity_new = T_out @ se3_inverse(ctx.T_last)
+    T_log = jnp.where(ok, T_out, ctx.T_last)
+    T_cr = T_log @ se3_inverse(m.kf_pose_cw[ctx.ref_kf])
+
+    # NeedNewKeyFrame (Tracking.cc:≈980): ref-KF match ratio + max frame gap
+    # + close-point starvation (stereo/RGB-D).  Host applies the
+    # localization-only override; capacity is checked here.
+    kf_tracked = jnp.sum(
+        (m.kf_point[ctx.ref_kf] >= 0) & m.kf_kp_valid[ctx.ref_kf]
+    ).astype(jnp.int32)
+    ratio_th = 0.9 if sensor == "mono" else 0.75
+    need = (nf.astype(jnp.float32) < ratio_th * kf_tracked.astype(jnp.float32)) & (nf > 15)
+    need = need | (ctx.frames_since_kf >= 10)
+    if sensor != "mono":
+        close = (frame.depth > 0) & (frame.depth < th_depth)
+        n_close_tracked = jnp.sum(close & (bf >= 0)).astype(jnp.int32)
+        n_close_total = jnp.sum(close & frame.valid).astype(jnp.int32)
+        need = need | ((n_close_tracked < 100) & (n_close_total > 70))
+    need = need & (ctx.frames_since_kf >= 1) & ok
+    need = need & (m.n_kf < m.kf_capacity - 1)
+
+    path = jnp.where(
+        ok & ok_motion & ~use_rescue, jnp.int32(1),
+        jnp.where(ok, jnp.int32(2), jnp.int32(0)),
+    )
+    flags = jnp.stack(
+        [ok.astype(jnp.int32), nf, need.astype(jnp.int32), path]
+    )
+    return TrackOut(
+        m=m, frame=frame, T_cw=T_out, bindings=bf,
+        velocity=velocity_new, T_cr=T_cr, flags=flags,
+    )
+
+
+def make_fused_frame_tracker(
+    extractor: OrbExtractor,
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    sensor: str,
+    th_depth: float,
+    depth_map_factor: float = 1.0,
+    donate_map: bool = True,
+):
+    """Build the single-dispatch per-frame program for one sensor config.
+
+    Returns a jitted callable:
+      mono:   step(image, m, ctx)            -> TrackOut
+      stereo: step(image_l, image_r, m, ctx) -> TrackOut
+      rgbd:   step(image, depth_map, m, ctx) -> TrackOut
+
+    With ``donate_map`` the map argument is donated: per-frame updates
+    (visibility counters) alias in place instead of copying the pools.
+    Pass False when the caller reuses the same map across calls (bench).
+    """
+    if sensor == "mono":
+
+        def step(image, m: ms.MapState, ctx: TrackCtx) -> TrackOut:
+            frame = build_mono_frame(image, extractor, cam)
+            return _fused_track(
+                m, frame, ctx, cam, scale_factors, inv_sigma2,
+                th_depth, sensor,
+            )
+
+        return jax.jit(step, donate_argnums=(1,) if donate_map else ())
+
+    if sensor == "stereo":
+
+        def step(image_l, image_r, m: ms.MapState, ctx: TrackCtx) -> TrackOut:
+            frame = build_stereo_frame(
+                image_l, image_r, extractor, cam, scale_factors
+            )
+            return _fused_track(
+                m, frame, ctx, cam, scale_factors, inv_sigma2,
+                th_depth, sensor,
+            )
+
+        return jax.jit(step, donate_argnums=(2,) if donate_map else ())
+
+    if sensor == "rgbd":
+
+        def step(image, depth_map, m: ms.MapState, ctx: TrackCtx) -> TrackOut:
+            frame = build_rgbd_frame(
+                image, depth_map, extractor, cam, depth_map_factor
+            )
+            return _fused_track(
+                m, frame, ctx, cam, scale_factors, inv_sigma2,
+                th_depth, sensor,
+            )
+
+        return jax.jit(step, donate_argnums=(2,) if donate_map else ())
+
+    raise ValueError(f"unknown sensor {sensor!r}")

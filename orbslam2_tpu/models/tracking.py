@@ -386,10 +386,12 @@ class Tracker:
     """
 
     def __init__(self, settings: Settings, local_mapper=None,
-                 database=None, loop_closer=None):
+                 database=None, loop_closer=None, use_fused: bool = True):
         self.settings = settings
         self.database = database
         self.loop_closer = loop_closer
+        self.use_fused = use_fused
+        self._fused_step = None  # built lazily per sensor
         self.cam = settings.camera_model()
         orb = settings.orb
         self.extractor = OrbExtractor(orb, settings.tpu)
@@ -433,21 +435,124 @@ class Tracker:
     # -- frame entry points ------------------------------------------------
 
     def track_mono(self, image, timestamp: float = 0.0):
+        if self.use_fused and self.state != TrackState.NOT_INITIALIZED:
+            return self._track_fused("mono", (jnp.asarray(image),))
         frame = build_mono_frame(image, self.extractor, self.cam)
         return self._track(frame, timestamp, sensor="mono")
 
     def track_stereo(self, image_left, image_right, timestamp: float = 0.0):
+        if self.use_fused and self.state != TrackState.NOT_INITIALIZED:
+            return self._track_fused(
+                "stereo", (jnp.asarray(image_left), jnp.asarray(image_right))
+            )
         frame = build_stereo_frame(
             image_left, image_right, self.extractor, self.cam, self.scale_factors
         )
         return self._track(frame, timestamp, sensor="stereo")
 
     def track_rgbd(self, image, depth_map, timestamp: float = 0.0):
+        if self.use_fused and self.state != TrackState.NOT_INITIALIZED:
+            return self._track_fused(
+                "rgbd", (jnp.asarray(image), jnp.asarray(depth_map))
+            )
         frame = build_rgbd_frame(
             image, depth_map, self.extractor, self.cam,
             self.settings.camera.depth_map_factor,
         )
         return self._track(frame, timestamp, sensor="rgbd")
+
+    # -- fused per-frame path (ONE device dispatch + one scalar readback) ---
+
+    def _get_fused_step(self, sensor: str):
+        if self._fused_step is None or getattr(self, "_fused_sensor", None) != sensor:
+            from .track_fused import make_fused_frame_tracker
+
+            self._fused_step = make_fused_frame_tracker(
+                self.extractor, self.cam, self.scale_factors,
+                self.inv_sigma2, sensor, self._th_depth(),
+                self.settings.camera.depth_map_factor,
+            )
+            self._fused_sensor = sensor
+        return self._fused_step
+
+    def _make_ctx(self):
+        from .track_fused import TrackCtx
+
+        has_vel = self.velocity is not None
+        vel = self.velocity if has_vel else jnp.eye(4, dtype=jnp.float32)
+        weak = (
+            len(self.n_tracked_history) == 0
+            or self.n_tracked_history[-1] < 50
+        )
+        lf = self.last_frame
+        return TrackCtx(
+            T_last=jnp.asarray(self.last_T, jnp.float32),
+            velocity=jnp.asarray(vel, jnp.float32),
+            has_velocity=jnp.asarray(has_vel),
+            last_xy=lf.xy,
+            last_level=lf.level,
+            last_bindings=self.last_bindings,
+            ref_kf=jnp.int32(self.ref_kf),
+            weak=jnp.asarray(weak),
+            frames_since_kf=jnp.int32(self.frame_id - self.last_kf_frame_id),
+        )
+
+    def _track_fused(self, sensor: str, inputs):
+        from .track_fused import (
+            FLAG_N_INLIERS, FLAG_NEED_KF, FLAG_OK, FLAG_PATH,
+        )
+
+        step = self._get_fused_step(sensor)
+        out = step(*inputs, self.map, self._make_ctx())
+        self.map = out.m
+        frame = out.frame
+        flags = np.asarray(out.flags)  # the ONE per-frame device readback
+        ok = bool(flags[FLAG_OK])
+        n_in = int(flags[FLAG_N_INLIERS])
+        need_kf = bool(flags[FLAG_NEED_KF])
+        path = int(flags[FLAG_PATH])
+
+        self.metrics["frames"] += 1
+        self.metrics["track_path"] = {0: "none", 1: "motion", 2: "refkf"}[path]
+        created = False
+        if ok:
+            self.state = TrackState.OK
+            self.velocity = out.velocity
+            self.last_T = out.T_cw
+            self.n_tracked_history.append(n_in)
+            self.metrics["last_inliers"] = n_in
+            if need_kf and not self.localization_only:
+                self._create_keyframe(frame, out.T_cw, out.bindings, sensor)
+                created = True
+        else:
+            self.state = TrackState.LOST
+            self.velocity = None
+            self.metrics["frames_lost"] += 1
+
+        relocated = False
+        if self.state == TrackState.LOST and self.database is not None:
+            ok_reloc, T, bindings_r, n_r = self._relocalize(frame)
+            if ok_reloc:
+                self.state = TrackState.OK
+                self.last_T = T
+                self.n_tracked_history.append(int(n_r))
+                self.metrics["relocalizations"] += 1
+                self.metrics["track_path"] = "reloc"
+                relocated = True
+
+        if created or relocated:
+            # Rare, sync-heavy frames: use the host-side log (the new ref-KF
+            # pose may have just been BA-adjusted).
+            self._log_pose(frame)
+        else:
+            self.trajectory.append(
+                (self.frame_id, out.T_cr, self.ref_kf,
+                 self.state != TrackState.OK)
+            )
+        self._finish_frame(
+            frame, out.bindings if (ok and not created) else None
+        )
+        return self.last_T
 
     # -- core --------------------------------------------------------------
 
@@ -525,6 +630,7 @@ class Tracker:
         self.metrics["track_path"] = (
             "motion" if used_motion and ok else ("refkf" if ok else "none")
         )
+        created_kf = False
         if ok:
             self.state = TrackState.OK
             T = orthonormalize_se3(T)
@@ -535,6 +641,7 @@ class Tracker:
             self.metrics["last_inliers"] = int(n_in)
             if self._need_new_keyframe(frame, bindings, int(n_in), sensor):
                 self._create_keyframe(frame, T, bindings, sensor)
+                created_kf = True
         else:
             self.state = TrackState.LOST
             self.velocity = None
@@ -550,7 +657,12 @@ class Tracker:
                 self.metrics["track_path"] = "reloc" 
 
         self._log_pose(frame)
-        self._finish_frame(frame, bindings if ok else None)
+        # When a keyframe was created, _create_keyframe already stored the
+        # spawned+scrubbed bindings; don't overwrite them with the stale
+        # pre-spawn ones.
+        self._finish_frame(
+            frame, bindings if (ok and not created_kf) else None
+        )
         return self.last_T
 
     # -- initialization ----------------------------------------------------
@@ -778,7 +890,7 @@ class Tracker:
         kf_poses = np.asarray(self.map.kf_pose_cw)
         out = []
         for _, T_cr, ref, _ in self.trajectory:
-            T_cw = T_cr @ kf_poses[ref]
+            T_cw = np.asarray(T_cr) @ kf_poses[ref]
             out.append(np.linalg.inv(T_cw))
         return np.stack(out)
 

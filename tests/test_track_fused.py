@@ -1,0 +1,67 @@
+"""Fused single-dispatch tracking vs the step-by-step host state machine.
+
+The fused program (models/track_fused.py) must implement the SAME decision
+chain as the unfused host path (models/tracking.Tracker._track): motion
+model + retry, ref-KF fallback, local map, rescue, keyframe policy.  XLA
+fusion changes floating-point rounding, so trajectories are compared with
+a tolerance, not bitwise.
+"""
+
+import numpy as np
+import pytest
+
+from orbslam2_tpu.models.system import SlamSystem, Sensor
+from orbslam2_tpu.utils import synthetic
+
+from test_slam_e2e import small_settings
+
+
+def _run(sensor, use_fused, n_frames=24):
+    s = small_settings(bf=160.0)
+    cam = s.camera_model()
+    seq = synthetic.make_sequence(
+        cam, n_frames=n_frames, with_depth=(sensor != Sensor.MONOCULAR),
+        seed=3,
+    )
+    sys = SlamSystem(s, sensor, enable_loop_closing=False)
+    sys.tracker.use_fused = use_fused
+    for i in range(n_frames):
+        if sensor == Sensor.RGBD:
+            sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
+        else:
+            sys.track_monocular(seq.images[i], seq.timestamps[i])
+    return sys, seq
+
+
+class TestFusedEquivalence:
+    def test_rgbd_fused_matches_unfused(self):
+        sys_f, seq = _run(Sensor.RGBD, True)
+        sys_u, _ = _run(Sensor.RGBD, False)
+        ate_f = synthetic.ate_rmse(sys_f.poses_wc(), seq.poses_wc, with_scale=False)
+        ate_u = synthetic.ate_rmse(sys_u.poses_wc(), seq.poses_wc, with_scale=False)
+        # Same decision chain; only XLA fusion rounding differs.
+        assert abs(ate_f - ate_u) < 0.02, (ate_f, ate_u)
+        assert ate_f < 0.08, ate_f
+        assert int(sys_f.map.n_kf) == int(sys_u.map.n_kf)
+        # Same tracking decisions frame by frame.
+        assert sys_f.tracker.metrics["frames_lost"] == \
+            sys_u.tracker.metrics["frames_lost"]
+
+    def test_fused_is_single_dispatch_chain(self):
+        """The fused path must run the per-frame hot loop through the ONE
+        jitted program (plus the tiny flags readback) — guard against
+        regressions that reintroduce per-step dispatches."""
+        import jax
+
+        sys_f, seq = _run(Sensor.RGBD, True, n_frames=6)
+        tracker = sys_f.tracker
+        step = tracker._get_fused_step("rgbd")
+        # Steady-state non-KF frame: count traced executions via a counter
+        # wrapper is impractical post-hoc; instead assert the step is a
+        # compiled function and the tracker routes through it.
+        assert tracker._fused_sensor == "rgbd"
+        assert tracker.use_fused
+        # Trajectory entries hold device arrays (no per-frame host sync).
+        non_kf_entries = [t for t in tracker.trajectory if isinstance(
+            t[1], jax.Array)]
+        assert non_kf_entries, "fused path should log device-resident T_cr"
