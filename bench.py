@@ -50,12 +50,21 @@ def main():
     ]
 
     n_iters = 60
+    lag = 2
+    pend = []
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = fn(images[i % 3], *args[1:])
-        # Real driver pattern: the host reads the per-frame decision flags
-        # (ok / n_inliers / need_kf) before moving on.
-        np.asarray(out.flags)
+        # Real pipelined-driver pattern (Tracker(pipeline=True), depth=2):
+        # the per-frame decision flags start their D2H copy immediately and
+        # are consumed two frames later, so both the readback round trip
+        # and the dispatch latency overlap device compute.
+        out.flags.copy_to_host_async()
+        pend.append(out)
+        if len(pend) > lag:
+            np.asarray(pend.pop(0).flags)
+    for p in pend:
+        np.asarray(p.flags)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
     fps = 1.0 / dt

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--out", default=".")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="lag-1 pipelined tracking (never blocks on device)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -68,7 +70,8 @@ def main():
             vocabulary = vocab_io.load_orbvoc_text(args.vocabulary)
         print(f"vocabulary loaded in {time.perf_counter() - t0:.2f} s")
 
-    system = SlamSystem(settings, args.sensor, vocabulary=vocabulary)
+    system = SlamSystem(settings, args.sensor, vocabulary=vocabulary,
+                        pipeline=args.pipeline)
 
     # --- frame source ---
     if args.dataset == "tum" and args.sensor == "rgbd":

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--points", type=int, default=400)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="lag-1 pipelined tracking (never blocks on device)")
     ap.add_argument("--out", default="/tmp/orbslam2_tpu_out")
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--viewer", action="store_true",
@@ -69,7 +71,7 @@ def main():
         seed=7,
     )
 
-    system = SlamSystem(settings, args.sensor)
+    system = SlamSystem(settings, args.sensor, pipeline=args.pipeline)
     if args.no_ba and system.local_mapper is not None:
         system.local_mapper.enable_ba = False
 

@@ -53,6 +53,7 @@ class SlamSystem:
         enable_mapping: bool = True,
         vocabulary: Optional[object] = None,
         enable_loop_closing: bool = True,
+        pipeline: bool = False,
     ):
         from .kf_database import KeyframeDatabase
         from .loop_closing import LoopCloser
@@ -75,9 +76,11 @@ class SlamSystem:
             if enable_loop_closing
             else None
         )
+        self.pipeline = pipeline
         self.tracker = Tracker(
             settings, local_mapper=self.local_mapper,
             database=self.database, loop_closer=self.loop_closer,
+            pipeline=pipeline,
         )
         self.localization_only = False
         self.timestamps = []
@@ -123,12 +126,14 @@ class SlamSystem:
         self.tracker = Tracker(
             self.settings, local_mapper=self.local_mapper,
             database=self.database, loop_closer=self.loop_closer,
+            pipeline=self.pipeline,
         )
         self.timestamps = []
 
     def shutdown(self):
-        """No threads to join — the pipeline is synchronous host
-        orchestration over device programs."""
+        """Drain the in-flight frame (pipeline mode); no threads to join —
+        concurrency is the device/host dispatch pipeline, not threads."""
+        self.tracker.flush()
 
     # -- state inspection --------------------------------------------------
 

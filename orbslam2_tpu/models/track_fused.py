@@ -74,6 +74,7 @@ class TrackOut(NamedTuple):
     velocity: jnp.ndarray   # (4, 4) new motion model
     T_cr: jnp.ndarray       # (4, 4) pose relative to ref KF (trajectory log)
     flags: jnp.ndarray      # (N_FLAGS,) int32
+    next_ctx: "TrackCtx"    # device-chained context for the NEXT frame
 
 
 def _fused_track(
@@ -191,9 +192,26 @@ def _fused_track(
     flags = jnp.stack(
         [ok.astype(jnp.int32), nf, need.astype(jnp.int32), path]
     )
+
+    # Device-chained context for the next frame: the whole tracker state
+    # the next dispatch needs, so a pipelined driver (lag-1 flags readback,
+    # models/tracking.Tracker pipeline mode) never has to block on this
+    # frame's results.  ref_kf / frames_since_kf are host-overridden when a
+    # keyframe event actually fires.
+    next_ctx = TrackCtx(
+        T_last=T_log,
+        velocity=jnp.where(ok, velocity_new, jnp.eye(4, dtype=jnp.float32)),
+        has_velocity=ok,
+        last_xy=frame.xy,
+        last_level=frame.level,
+        last_bindings=jnp.where(ok, bf, ctx.last_bindings),
+        ref_kf=ctx.ref_kf,
+        weak=nf < 50,
+        frames_since_kf=ctx.frames_since_kf + 1,
+    )
     return TrackOut(
         m=m, frame=frame, T_cw=T_out, bindings=bf,
-        velocity=velocity_new, T_cr=T_cr, flags=flags,
+        velocity=velocity_new, T_cr=T_cr, flags=flags, next_ctx=next_ctx,
     )
 
 

@@ -386,11 +386,25 @@ class Tracker:
     """
 
     def __init__(self, settings: Settings, local_mapper=None,
-                 database=None, loop_closer=None, use_fused: bool = True):
+                 database=None, loop_closer=None, use_fused: bool = True,
+                 pipeline: bool = False):
         self.settings = settings
         self.database = database
         self.loop_closer = loop_closer
         self.use_fused = use_fused
+        # Pipelined driver mode: per-frame decision flags are read back
+        # with a ONE-FRAME lag so the host never blocks on the device —
+        # the TPU-native analog of the reference's tracking-thread /
+        # mapping-thread split (keyframes enter the map one frame after
+        # their decision, exactly like the reference's KF queue).
+        self.pipeline = pipeline
+        # How many frames may be in flight before their decision flags are
+        # read (1 = classic lag-1; 2 hides the full D2H round trip on
+        # high-latency links — keyframe decisions then lag 2 frames, the
+        # same latency class as the reference's KF queue hand-off).
+        self.pipeline_depth = 1
+        self._pending = None    # [(frame_id, TrackOut), ...] oldest first
+        self._next_ctx = None   # device-chained ctx for the next dispatch
         self._fused_step = None  # built lazily per sensor
         self.cam = settings.camera_model()
         orb = settings.orb
@@ -502,6 +516,9 @@ class Tracker:
             FLAG_N_INLIERS, FLAG_NEED_KF, FLAG_OK, FLAG_PATH,
         )
 
+        if self.pipeline:
+            return self._track_fused_pipelined(sensor, inputs)
+
         step = self._get_fused_step(sensor)
         out = step(*inputs, self.map, self._make_ctx())
         self.map = out.m
@@ -553,6 +570,111 @@ class Tracker:
             frame, out.bindings if (ok and not created) else None
         )
         return self.last_T
+
+    # -- pipelined fused path (lag-1 flags readback, never blocks) ---------
+
+    def _track_fused_pipelined(self, sensor: str, inputs):
+        step = self._get_fused_step(sensor)
+        ctx = self._next_ctx if self._next_ctx is not None else self._make_ctx()
+        out = step(*inputs, self.map, ctx)
+        self.map = out.m
+        self._next_ctx = out.next_ctx
+        fid = self.frame_id
+        self.frame_id += 1
+        self.last_frame = out.frame
+        # Start the tiny flags D2H NOW so it rides alongside device compute;
+        # by resolve time np.asarray() returns from the local copy instead
+        # of paying a blocking round trip.
+        try:
+            out.flags.copy_to_host_async()
+        except AttributeError:
+            pass
+        if self._pending is None:
+            self._pending = []
+        self._pending.append((fid, out))
+        while len(self._pending) > self.pipeline_depth:
+            # Resolve the OLDEST in-flight frame while this one executes.
+            self._resolve_pending(self._pending.pop(0), sensor)
+        self.last_T = out.T_cw  # best current estimate (unresolved)
+        return out.T_cw
+
+    def flush(self):
+        """Resolve all in-flight frames (call at sequence end / before
+        trajectory export)."""
+        pending, self._pending = self._pending, None
+        for p in pending or []:
+            self._resolve_pending(p, getattr(self, "_fused_sensor", "mono"))
+
+    def _resolve_pending(self, pending, sensor: str):
+        from .track_fused import (
+            FLAG_N_INLIERS, FLAG_NEED_KF, FLAG_OK, FLAG_PATH,
+        )
+
+        fid, out = pending
+        flags = np.asarray(out.flags)
+        ok = bool(flags[FLAG_OK])
+        n_in = int(flags[FLAG_N_INLIERS])
+        need_kf = bool(flags[FLAG_NEED_KF])
+        path = int(flags[FLAG_PATH])
+        self.metrics["frames"] += 1
+        self.metrics["track_path"] = {0: "none", 1: "motion", 2: "refkf"}[path]
+
+        ref_at_dispatch = int(np.asarray(out.next_ctx.ref_kf))
+        if ok:
+            self.state = TrackState.OK
+            self.last_T = out.T_cw
+            self.n_tracked_history.append(n_in)
+            self.metrics["last_inliers"] = n_in
+            self.trajectory.append((fid, out.T_cr, ref_at_dispatch, False))
+            if need_kf and not self.localization_only:
+                self._create_keyframe(
+                    out.frame, out.T_cw, out.bindings, sensor, frame_id=fid
+                )
+                # Keyframe events are the only host writes into the device
+                # context chain: new reference KF, reset KF-gap counter,
+                # scrub bindings against post-mapping point validity.
+                if self._next_ctx is not None:
+                    lb = self._next_ctx.last_bindings
+                    lb = jnp.where(
+                        (lb >= 0) & self.map.pt_valid[jnp.maximum(lb, 0)],
+                        lb, NO_POINT,
+                    )
+                    self._next_ctx = self._next_ctx._replace(
+                        ref_kf=jnp.int32(self.ref_kf),
+                        frames_since_kf=jnp.int32(
+                            self.frame_id - self.last_kf_frame_id
+                        ),
+                        last_bindings=lb,
+                    )
+            return
+
+        self.state = TrackState.LOST
+        self.metrics["frames_lost"] += 1
+        relocated = False
+        if self.database is not None:
+            ok_r, T, bindings_r, n_r = self._relocalize(out.frame)
+            if ok_r:
+                self.state = TrackState.OK
+                self.last_T = T
+                self.n_tracked_history.append(int(n_r))
+                self.metrics["relocalizations"] += 1
+                self.metrics["track_path"] = "reloc"
+                relocated = True
+                if self._next_ctx is not None:
+                    # Re-anchor the chain at the relocalized pose (one frame
+                    # stale; the next frame re-tracks from the new ref KF).
+                    self._next_ctx = self._next_ctx._replace(
+                        T_last=jnp.asarray(T, jnp.float32),
+                        has_velocity=jnp.asarray(False),
+                        velocity=jnp.eye(4, dtype=jnp.float32),
+                        last_bindings=jnp.full_like(
+                            self._next_ctx.last_bindings, NO_POINT
+                        ),
+                        ref_kf=jnp.int32(self.ref_kf),
+                    )
+        self.trajectory.append(
+            (fid, out.T_cr, ref_at_dispatch, not relocated)
+        )
 
     # -- core --------------------------------------------------------------
 
@@ -821,7 +943,9 @@ class Tracker:
         c = self.settings.camera
         return c.th_depth * c.bf / c.fx if c.bf > 0 else 1e9
 
-    def _create_keyframe(self, frame: Frame, T, bindings, sensor: str):
+    def _create_keyframe(self, frame: Frame, T, bindings, sensor: str,
+                         frame_id: Optional[int] = None):
+        fid = self.frame_id if frame_id is None else frame_id
         m = self.map
         if sensor != "mono":
             # Spawn close-depth points for unbound keypoints (Tracking.cc:≈1060).
@@ -830,14 +954,14 @@ class Tracker:
             m, pids = add_points(m, pos_w, frame.desc, ok, m.n_kf)
             bindings = jnp.where(ok & (pids >= 0), pids, bindings)
         m, kf_id = insert_keyframe(
-            m, frame, T, jnp.int32(self.frame_id), bindings,
+            m, frame, T, jnp.int32(fid), bindings,
             jnp.int32(self.ref_kf),
         )
         m = ms.update_point_stats(m)
         self.map = m
         self.metrics["keyframes_created"] += 1
         self.ref_kf = int(kf_id)
-        self.last_kf_frame_id = self.frame_id
+        self.last_kf_frame_id = fid
         self.last_bindings = bindings
         if self.database is not None:
             self.database.add_keyframe(int(kf_id), frame.desc, frame.valid)
@@ -887,6 +1011,7 @@ class Tracker:
         """(F, 4, 4) camera-to-world trajectory, replayed against the
         current (loop-corrected) keyframe poses (System::SaveTrajectory*'s
         Tcr * Trw reconstruction)."""
+        self.flush()
         kf_poses = np.asarray(self.map.kf_pose_cw)
         out = []
         for _, T_cr, ref, _ in self.trajectory:

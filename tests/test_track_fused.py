@@ -16,20 +16,21 @@ from orbslam2_tpu.utils import synthetic
 from test_slam_e2e import small_settings
 
 
-def _run(sensor, use_fused, n_frames=24):
+def _run(sensor, use_fused, n_frames=24, pipeline=False):
     s = small_settings(bf=160.0)
     cam = s.camera_model()
     seq = synthetic.make_sequence(
         cam, n_frames=n_frames, with_depth=(sensor != Sensor.MONOCULAR),
         seed=3,
     )
-    sys = SlamSystem(s, sensor, enable_loop_closing=False)
+    sys = SlamSystem(s, sensor, enable_loop_closing=False, pipeline=pipeline)
     sys.tracker.use_fused = use_fused
     for i in range(n_frames):
         if sensor == Sensor.RGBD:
             sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
         else:
             sys.track_monocular(seq.images[i], seq.timestamps[i])
+    sys.shutdown()
     return sys, seq
 
 
@@ -65,3 +66,19 @@ class TestFusedEquivalence:
         non_kf_entries = [t for t in tracker.trajectory if isinstance(
             t[1], jax.Array)]
         assert non_kf_entries, "fused path should log device-resident T_cr"
+
+
+class TestPipelinedMode:
+    def test_rgbd_pipelined(self):
+        """Lag-1 flags readback (the reference's tracking/mapping thread
+        split as a dispatch pipeline): keyframes enter the map one frame
+        after their decision; accuracy must stay within the gate."""
+        sys_p, seq = _run(Sensor.RGBD, True, pipeline=True)
+        ate = synthetic.ate_rmse(sys_p.poses_wc(), seq.poses_wc, with_scale=False)
+        assert ate < 0.10, ate
+        assert len(sys_p.tracker.trajectory) == seq.images.shape[0]
+        assert int(sys_p.map.n_kf) >= 3
+        # Frames resolve one step late, but all resolve after shutdown().
+        assert sys_p.tracker._pending is None
+        assert sys_p.tracker.metrics["frames"] == seq.images.shape[0] - 1
+        # (frame 0 is the stereo/RGB-D init frame, not a tracked frame)
