@@ -409,6 +409,7 @@ class Tracker:
         self.cam = settings.camera_model()
         orb = settings.orb
         self.extractor = OrbExtractor(orb, settings.tpu)
+        self._init_extractor = None  # 2x-feature mono-init extractor (lazy)
         self.scale_factors = jnp.asarray(
             pyr_ops.scale_factors(orb.n_levels, orb.scale_factor)
         )
@@ -451,8 +452,36 @@ class Tracker:
     def track_mono(self, image, timestamp: float = 0.0):
         if self.use_fused and self.state != TrackState.NOT_INITIALIZED:
             return self._track_fused("mono", (jnp.asarray(image),))
-        frame = build_mono_frame(image, self.extractor, self.cam)
+        # During monocular initialization the reference extracts with a
+        # DOUBLED feature budget (mpIniORBextractor, 2*nFeatures,
+        # Tracking.cc:≈150); successful init downselects back to the
+        # steady-state capacity before keyframe insertion.
+        ext = (
+            self._get_init_extractor()
+            if self.state == TrackState.NOT_INITIALIZED
+            else self.extractor
+        )
+        frame = build_mono_frame(image, ext, self.cam)
         return self._track(frame, timestamp, sensor="mono")
+
+    def _get_init_extractor(self) -> OrbExtractor:
+        if self._init_extractor is None:
+            import dataclasses
+
+            orb2 = dataclasses.replace(
+                self.settings.orb, n_features=2 * self.settings.orb.n_features
+            )
+            tpu2 = dataclasses.replace(
+                self.settings.tpu,
+                max_keypoints=2 * self.settings.tpu.max_keypoints,
+            )
+            # cell=16: the doubled budget must come from MORE cells, not
+            # denser per-cell picks — per-cell candidates are capped, and
+            # near-duplicate corners die under the 0.9 ratio test (the
+            # reference gets the same spread from DistributeOctTree's
+            # deeper quadtree subdivision at 2x targets).
+            self._init_extractor = OrbExtractor(orb2, tpu2, cell=16)
+        return self._init_extractor
 
     def track_stereo(self, image_left, image_right, timestamp: float = 0.0):
         if self.use_fused and self.state != TrackState.NOT_INITIALIZED:
@@ -681,7 +710,9 @@ class Tracker:
     def _track(self, frame: Frame, timestamp: float, sensor: str):
         if self.state == TrackState.NOT_INITIALIZED:
             if sensor == "mono":
-                self._mono_initialize(frame)
+                # On success this returns the current frame DOWNSELECTED to
+                # steady-state capacity (init ran at 2x features).
+                frame = self._mono_initialize(frame) or frame
             else:
                 self._stereo_initialize(frame)
             self._log_pose(frame)
@@ -789,19 +820,36 @@ class Tracker:
 
     # -- initialization ----------------------------------------------------
 
-    def _mono_initialize(self, frame: Frame):
+    @staticmethod
+    def _downselect_frame(frame: Frame, bindings, n_out: int):
+        """Keep the n_out best slots of a 2x-capacity init frame: bound
+        (triangulated) keypoints first, then by response.  Host-side — runs
+        once per successful initialization."""
+        bound = np.asarray(bindings) >= 0
+        valid = np.asarray(frame.valid)
+        resp = np.asarray(frame.response).astype(np.float64)
+        rmax = float(resp.max()) + 1.0
+        key = (
+            bound.astype(np.float64) * (2.0 * rmax)
+            + np.where(valid, resp, -rmax)
+        )
+        sel = np.argsort(-key, kind="stable")[:n_out]
+        new_frame = Frame(*[jnp.asarray(np.asarray(a)[sel]) for a in frame])
+        return new_frame, jnp.asarray(np.asarray(bindings)[sel])
+
+    def _mono_initialize(self, frame: Frame) -> Optional[Frame]:
         min_m = self.settings.tpu.min_init_matches
         if self.init_ref is None or int(frame.valid.sum()) <= min_m:
             if int(frame.valid.sum()) > min_m:
                 self.init_ref = frame
-            return
+            return None
         mres = matcher.search_for_initialization(
             self.init_ref.features, frame.features
         )
         n_matches = int(mres.ok.sum())
         if n_matches < min_m:
             self.init_ref = frame  # reference's re-seeding behavior
-            return
+            return None
         self.init_key, sub = jax.random.split(self.init_key)
         xy1 = self.init_ref.xy
         xy2 = frame.xy[mres.idx]
@@ -809,7 +857,7 @@ class Tracker:
             xy1, xy2, mres.ok, self.cam.K, sub
         )
         if not bool(res.success):
-            return
+            return None
 
         # Scale by inverse median scene depth (CreateInitialMapMonocular,
         # Tracking.cc:≈640: median depth -> 1).
@@ -836,26 +884,33 @@ class Tracker:
         bind1 = bind1.at[jnp.asarray(tgt)].set(
             jnp.where(jnp.asarray(okm), pids, NO_POINT), mode="drop"
         )
+        # Init ran at 2x features (mpIniORBextractor); keyframes and the
+        # steady-state tracking programs use capacity N — keep triangulated
+        # slots first, then strongest responses.
+        N = self.settings.tpu.max_keypoints
+        ref_n, bind0_n = self._downselect_frame(self.init_ref, bind0, N)
+        cur_n, bind1_n = self._downselect_frame(frame, bind1, N)
         m, kf0 = insert_keyframe(
-            m, self.init_ref, jnp.eye(4), jnp.int32(self.frame_id - 1),
-            bind0, jnp.int32(-1),
+            m, ref_n, jnp.eye(4), jnp.int32(self.frame_id - 1),
+            bind0_n, jnp.int32(-1),
         )
         m, kf1 = insert_keyframe(
-            m, frame, T21, jnp.int32(self.frame_id), bind1, jnp.int32(0)
+            m, cur_n, T21, jnp.int32(self.frame_id), bind1_n, jnp.int32(0)
         )
         m = ms.update_point_stats(m)
         self.map = m
         if self.database is not None:
-            self.database.add_keyframe(int(kf0), self.init_ref.desc, self.init_ref.valid)
-            self.database.add_keyframe(int(kf1), frame.desc, frame.valid)
+            self.database.add_keyframe(int(kf0), ref_n.desc, ref_n.valid)
+            self.database.add_keyframe(int(kf1), cur_n.desc, cur_n.valid)
         self.ref_kf = int(kf1)
         self.last_T = T21
-        self.last_bindings = bind1
+        self.last_bindings = bind1_n
         self.velocity = None
         self.state = TrackState.OK
         self.last_kf_frame_id = self.frame_id
         if self.local_mapper is not None:
             self.map = self.local_mapper.on_initial_map(self.map)
+        return cur_n
 
     def _stereo_initialize(self, frame: Frame):
         n_depth = int(((frame.depth > 0) & frame.valid).sum())
