@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pipeline", action="store_true",
                     help="lag-1 pipelined tracking (never blocks on device)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="frames per device dispatch (lax.scan chunk; "
+                         "mapping resolves with lag <= chunk)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -71,7 +74,7 @@ def main():
         print(f"vocabulary loaded in {time.perf_counter() - t0:.2f} s")
 
     system = SlamSystem(settings, args.sensor, vocabulary=vocabulary,
-                        pipeline=args.pipeline)
+                        pipeline=args.pipeline, chunk=args.chunk)
 
     # --- frame source ---
     if args.dataset == "tum" and args.sensor == "rgbd":

@@ -54,6 +54,7 @@ class SlamSystem:
         vocabulary: Optional[object] = None,
         enable_loop_closing: bool = True,
         pipeline: bool = False,
+        chunk: int = 0,
     ):
         from .kf_database import KeyframeDatabase
         from .loop_closing import LoopCloser
@@ -77,10 +78,11 @@ class SlamSystem:
             else None
         )
         self.pipeline = pipeline
+        self.chunk = chunk
         self.tracker = Tracker(
             settings, local_mapper=self.local_mapper,
             database=self.database, loop_closer=self.loop_closer,
-            pipeline=pipeline,
+            pipeline=pipeline, chunk=chunk,
         )
         self.localization_only = False
         self.timestamps = []
@@ -126,7 +128,7 @@ class SlamSystem:
         self.tracker = Tracker(
             self.settings, local_mapper=self.local_mapper,
             database=self.database, loop_closer=self.loop_closer,
-            pipeline=self.pipeline,
+            pipeline=self.pipeline, chunk=self.chunk,
         )
         self.timestamps = []
 

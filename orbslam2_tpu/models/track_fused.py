@@ -215,6 +215,122 @@ def _fused_track(
     )
 
 
+class ChunkOut(NamedTuple):
+    """Outputs of a C-frame chunk: the small per-frame tensors the host
+    needs (one readback per chunk), plus the threaded map + context."""
+
+    m: ms.MapState
+    next_ctx: TrackCtx
+    flags: jnp.ndarray    # (C, N_FLAGS) int32
+    T_cw: jnp.ndarray     # (C, 4, 4) per-frame pose (valid iff flags ok)
+    T_cr: jnp.ndarray     # (C, 4, 4) pose relative to the log ref KF
+    log_ref: jnp.ndarray  # (C,) int32 ref-KF id for the trajectory entry
+    kf_id: jnp.ndarray    # (C,) int32 created keyframe id, -1 if none
+
+
+def make_fused_chunk_tracker(
+    extractor: OrbExtractor,
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    sensor: str,
+    th_depth: float,
+    depth_map_factor: float = 1.0,
+    donate_map: bool = True,
+):
+    """C frames of tracking as ONE device program (`lax.scan`).
+
+    The reference runs Tracking in its own thread and hands keyframes to
+    LocalMapping through a queue (System.cc:≈90, LocalMapping.h:≈110) —
+    mapping always LAGS tracking.  This program keeps exactly that
+    contract while amortizing one dispatch over C frames: the keyframe
+    DECISION AND INSERTION happen on device inside the scan (new
+    keyframes are immediately trackable by the following frames, like the
+    reference's just-inserted-KF covisibility), while triangulation /
+    culling / local BA / loop closing run on the host after the chunk —
+    the queue hand-off, with lag ≤ C frames instead of the reference's
+    scheduler-dependent lag.  The scan is strictly sequential over
+    frames: no frame batching, the honest serial SLAM path (SURVEY.md §7).
+
+    Returns a jitted callable
+        chunk(*img_stacks, m, ctx, fid0, allow_kf) -> ChunkOut
+    where each img stack has a leading C dim, ``fid0`` is the frame id of
+    the first frame and ``allow_kf`` gates keyframe creation
+    (localization-only mode, Tracking::InformOnlyTracking).
+    """
+    from .tracking import add_points, insert_keyframe, unproject_frame_depth
+
+    def build_frame(xs):
+        if sensor == "mono":
+            return build_mono_frame(xs[0], extractor, cam)
+        if sensor == "stereo":
+            return build_stereo_frame(xs[0], xs[1], extractor, cam, scale_factors)
+        return build_rgbd_frame(xs[0], xs[1], extractor, cam, depth_map_factor)
+
+    n_inputs = 1 if sensor == "mono" else 2
+
+    def chunk(*args):
+        img_stacks = args[:n_inputs]
+        m, ctx, fid0, allow_kf = args[n_inputs:]
+
+        def scan_body(carry, xs):
+            m, ctx, fid = carry
+            frame = build_frame(xs)
+            out = _fused_track(
+                m, frame, ctx, cam, scale_factors, inv_sigma2,
+                th_depth, sensor,
+            )
+            need = (out.flags[FLAG_NEED_KF] > 0) & allow_kf
+
+            def with_kf(m):
+                bindings = out.bindings
+                if sensor != "mono":
+                    # Close-depth point spawning (Tracking.cc:≈1060).
+                    pos_w, okd = unproject_frame_depth(frame, out.T_cw, cam)
+                    okd = okd & (bindings < 0) & (frame.depth < th_depth)
+                    m, pids = add_points(m, pos_w, frame.desc, okd, m.n_kf)
+                    bindings = jnp.where(okd & (pids >= 0), pids, bindings)
+                m, kid = insert_keyframe(
+                    m, frame, out.T_cw, fid, bindings, ctx.ref_kf
+                )
+                m = ms.update_point_stats(m)
+                return m, kid, bindings
+
+            def without_kf(m):
+                return m, jnp.int32(-1), out.bindings
+
+            m, kid, bind = jax.lax.cond(need, with_kf, without_kf, out.m)
+            created = kid >= 0
+            # Keyframe events are the only overrides of the chained ctx
+            # (mirrors the host writes in Tracker._resolve_pending).
+            nctx = out.next_ctx._replace(
+                ref_kf=jnp.where(created, kid, out.next_ctx.ref_kf),
+                frames_since_kf=jnp.where(
+                    created, jnp.int32(0), out.next_ctx.frames_since_kf
+                ),
+                last_bindings=jnp.where(
+                    created, bind, out.next_ctx.last_bindings
+                ),
+            )
+            # The reference logs mlRelativeFramePoses AFTER CreateNewKeyFrame
+            # updated mpReferenceKF (Tracking.cc:≈470-490): a KF frame's
+            # relative pose is identity w.r.t. itself.
+            T_cr = jnp.where(
+                created, jnp.eye(4, dtype=jnp.float32), out.T_cr
+            )
+            log_ref = jnp.where(created, kid, ctx.ref_kf)
+            ys = (out.flags, out.T_cw, T_cr, log_ref, kid)
+            return (m, nctx, fid + 1), ys
+
+        (m, ctx, _), ys = jax.lax.scan(
+            scan_body, (m, ctx, fid0), img_stacks
+        )
+        return ChunkOut(m, ctx, *ys)
+
+    donate = (n_inputs,) if donate_map else ()
+    return jax.jit(chunk, donate_argnums=donate)
+
+
 def make_fused_frame_tracker(
     extractor: OrbExtractor,
     cam: CameraModel,

@@ -387,11 +387,22 @@ class Tracker:
 
     def __init__(self, settings: Settings, local_mapper=None,
                  database=None, loop_closer=None, use_fused: bool = True,
-                 pipeline: bool = False):
+                 pipeline: bool = False, chunk: int = 0):
         self.settings = settings
         self.database = database
         self.loop_closer = loop_closer
         self.use_fused = use_fused
+        # Chunked driver mode: C frames per dispatch via lax.scan with
+        # ON-DEVICE keyframe decision + insertion (track_fused.py's
+        # make_fused_chunk_tracker).  Mapping/loop-closing resolve after
+        # each chunk — the reference's tracking-thread -> LocalMapping
+        # queue hand-off with a bounded lag of <= C frames.  Amortizes the
+        # per-dispatch latency over C frames (the dominant cost on hosts
+        # that reach the TPU over a link); the scan stays strictly serial
+        # over frames.
+        self.chunk = int(chunk)
+        self._chunk_buf = []   # [(inputs tuple), ...] awaiting dispatch
+        self._chunk_step = None
         # Pipelined driver mode: per-frame decision flags are read back
         # with a ONE-FRAME lag so the host never blocks on the device —
         # the TPU-native analog of the reference's tracking-thread /
@@ -545,6 +556,8 @@ class Tracker:
             FLAG_N_INLIERS, FLAG_NEED_KF, FLAG_OK, FLAG_PATH,
         )
 
+        if self.chunk > 1:
+            return self._track_fused_chunked(sensor, inputs)
         if self.pipeline:
             return self._track_fused_pipelined(sensor, inputs)
 
@@ -630,6 +643,13 @@ class Tracker:
     def flush(self):
         """Resolve all in-flight frames (call at sequence end / before
         trajectory export)."""
+        if self._chunk_buf:
+            # Tail of a chunked run (< C frames buffered): run them through
+            # the single-frame fused path on the same device-chained ctx.
+            buf, self._chunk_buf = self._chunk_buf, []
+            sensor = getattr(self, "_fused_sensor", "mono")
+            for inputs in buf:
+                self._track_fused_pipelined(sensor, inputs)
         pending, self._pending = self._pending, None
         for p in pending or []:
             self._resolve_pending(p, getattr(self, "_fused_sensor", "mono"))
@@ -703,6 +723,153 @@ class Tracker:
                     )
         self.trajectory.append(
             (fid, out.T_cr, ref_at_dispatch, not relocated)
+        )
+
+    # -- chunked fused path (C frames per dispatch, lax.scan) ---------------
+
+    def _get_chunk_step(self, sensor: str):
+        if (
+            self._chunk_step is None
+            or getattr(self, "_fused_sensor", None) != sensor
+        ):
+            from .track_fused import make_fused_chunk_tracker
+
+            self._chunk_step = make_fused_chunk_tracker(
+                self.extractor, self.cam, self.scale_factors,
+                self.inv_sigma2, sensor, self._th_depth(),
+                self.settings.camera.depth_map_factor,
+            )
+            self._fused_sensor = sensor
+        return self._chunk_step
+
+    def _track_fused_chunked(self, sensor: str, inputs):
+        self._chunk_buf.append(tuple(jnp.asarray(x) for x in inputs))
+        if len(self._chunk_buf) >= self.chunk:
+            self._dispatch_chunk(sensor)
+        return self.last_T
+
+    def _dispatch_chunk(self, sensor: str):
+        from .track_fused import (
+            FLAG_N_INLIERS, FLAG_NEED_KF, FLAG_OK, FLAG_PATH,
+        )
+
+        buf, self._chunk_buf = self._chunk_buf, []
+        fid0 = self.frame_id
+        self.frame_id += len(buf)
+        stacks = tuple(
+            jnp.stack([b[i] for b in buf]) for i in range(len(buf[0]))
+        )
+        ctx = self._next_ctx if self._next_ctx is not None else self._make_ctx()
+        step = self._get_chunk_step(sensor)
+        out = step(
+            *stacks, self.map, ctx, jnp.int32(fid0),
+            jnp.asarray(not self.localization_only),
+        )
+        self.map = out.m
+        self._next_ctx = out.next_ctx
+        # ONE readback per chunk: flags + poses + keyframe events.
+        flags = np.asarray(out.flags)
+        T_cw = np.asarray(out.T_cw)
+        T_cr = np.asarray(out.T_cr)
+        log_ref = np.asarray(out.log_ref)
+        kf_ids = np.asarray(out.kf_id)
+
+        mapped = False
+        for j in range(len(buf)):
+            fid = fid0 + j
+            ok = bool(flags[j, FLAG_OK])
+            n_in = int(flags[j, FLAG_N_INLIERS])
+            path = int(flags[j, FLAG_PATH])
+            kid = int(kf_ids[j])
+            self.metrics["frames"] += 1
+            self.metrics["track_path"] = (
+                {0: "none", 1: "motion", 2: "refkf"}[path]
+            )
+            if ok:
+                self.state = TrackState.OK
+                self.last_T = jnp.asarray(T_cw[j])
+                self.n_tracked_history.append(n_in)
+                self.metrics["last_inliers"] = n_in
+            else:
+                self.state = TrackState.LOST
+                self.metrics["frames_lost"] += 1
+            self.trajectory.append((fid, T_cr[j], int(log_ref[j]), not ok))
+            if kid >= 0:
+                # The device already inserted the keyframe; resolve the
+                # host half: place-recognition index + local mapping +
+                # loop closing (the reference's LocalMapping queue,
+                # consumed here with <= C frames of lag).
+                self.metrics["keyframes_created"] += 1
+                self.ref_kf = kid
+                self.last_kf_frame_id = fid
+                if self.database is not None:
+                    self.database.add_keyframe(
+                        kid, self.map.kf_desc[kid], self.map.kf_kp_valid[kid]
+                    )
+                if self.local_mapper is not None:
+                    self.map = self.local_mapper.process_keyframe(
+                        self.map, kid
+                    )
+                    mapped = True
+                if self.loop_closer is not None:
+                    self.map = self.loop_closer.process_keyframe(
+                        self.map, kid
+                    )
+
+        if mapped:
+            # Mapping may have culled points whose slots can be reused;
+            # scrub the chained bindings so the next chunk can't re-attach
+            # to reused slots.
+            lb = self._next_ctx.last_bindings
+            lb = jnp.where(
+                (lb >= 0) & self.map.pt_valid[jnp.maximum(lb, 0)],
+                lb, NO_POINT,
+            )
+            self._next_ctx = self._next_ctx._replace(last_bindings=lb)
+
+        if self.state == TrackState.LOST and self.database is not None:
+            # Relocalize on the chunk's last frame (rebuilt host-side from
+            # the raw inputs — reloc is rare, one extra extraction).
+            frame = self._build_frame(sensor, buf[-1])
+            ok_r, T, bindings_r, n_r = self._relocalize(frame)
+            if ok_r:
+                self.state = TrackState.OK
+                self.last_T = T
+                self.n_tracked_history.append(int(n_r))
+                self.metrics["relocalizations"] += 1
+                self.metrics["track_path"] = "reloc"
+                self.trajectory[-1] = (
+                    self.trajectory[-1][0],
+                    np.asarray(T) @ np.linalg.inv(
+                        np.asarray(self.map.kf_pose_cw[self.ref_kf])
+                    ),
+                    self.ref_kf,
+                    False,
+                )
+                self._next_ctx = self._next_ctx._replace(
+                    T_last=jnp.asarray(T, jnp.float32),
+                    has_velocity=jnp.asarray(False),
+                    velocity=jnp.eye(4, dtype=jnp.float32),
+                    last_bindings=jnp.where(
+                        bindings_r >= 0, bindings_r,
+                        jnp.full_like(bindings_r, NO_POINT),
+                    ),
+                    last_xy=frame.xy,
+                    last_level=frame.level,
+                    ref_kf=jnp.int32(self.ref_kf),
+                )
+
+    def _build_frame(self, sensor: str, inputs) -> Frame:
+        if sensor == "mono":
+            return build_mono_frame(inputs[0], self.extractor, self.cam)
+        if sensor == "stereo":
+            return build_stereo_frame(
+                inputs[0], inputs[1], self.extractor, self.cam,
+                self.scale_factors,
+            )
+        return build_rgbd_frame(
+            inputs[0], inputs[1], self.extractor, self.cam,
+            self.settings.camera.depth_map_factor,
         )
 
     # -- core --------------------------------------------------------------

@@ -16,14 +16,16 @@ from orbslam2_tpu.utils import synthetic
 from test_slam_e2e import small_settings
 
 
-def _run(sensor, use_fused, n_frames=24, pipeline=False):
+def _run(sensor, use_fused, n_frames=24, pipeline=False, chunk=0):
     s = small_settings(bf=160.0)
     cam = s.camera_model()
     seq = synthetic.make_sequence(
         cam, n_frames=n_frames, with_depth=(sensor != Sensor.MONOCULAR),
         seed=3,
     )
-    sys = SlamSystem(s, sensor, enable_loop_closing=False, pipeline=pipeline)
+    sys = SlamSystem(
+        s, sensor, enable_loop_closing=False, pipeline=pipeline, chunk=chunk,
+    )
     sys.tracker.use_fused = use_fused
     for i in range(n_frames):
         if sensor == Sensor.RGBD:
@@ -82,3 +84,26 @@ class TestPipelinedMode:
         assert sys_p.tracker._pending is None
         assert sys_p.tracker.metrics["frames"] == seq.images.shape[0] - 1
         # (frame 0 is the stereo/RGB-D init frame, not a tracked frame)
+
+
+class TestChunkedMode:
+    def test_rgbd_chunked(self):
+        """C frames per dispatch (lax.scan) with ON-DEVICE keyframe
+        decision + insertion; mapping resolves after each chunk — the
+        reference's tracking→LocalMapping queue with lag ≤ C."""
+        sys_c, seq = _run(Sensor.RGBD, True, chunk=4)
+        ate = synthetic.ate_rmse(sys_c.poses_wc(), seq.poses_wc, with_scale=False)
+        assert ate < 0.10, ate
+        # Frame 0 is the init frame; the rest all log a trajectory entry.
+        assert len(sys_c.tracker.trajectory) == seq.images.shape[0]
+        assert int(sys_c.map.n_kf) >= 3
+        assert sys_c.tracker.metrics["frames"] == seq.images.shape[0] - 1
+        assert not sys_c.tracker._chunk_buf  # tail flushed at shutdown
+
+    def test_rgbd_chunk_tail_flush(self):
+        """A sequence length that is NOT a chunk multiple: the tail runs
+        through the single-frame path on the same device-chained ctx."""
+        sys_c, seq = _run(Sensor.RGBD, True, n_frames=23, chunk=5)
+        ate = synthetic.ate_rmse(sys_c.poses_wc(), seq.poses_wc, with_scale=False)
+        assert ate < 0.10, ate
+        assert len(sys_c.tracker.trajectory) == 23
