@@ -69,7 +69,7 @@ def _extract(
     levels = pyr_ops.build_pyramid(image.astype(jnp.float32), n_levels, scale_factor)
     scales = pyr_ops.scale_factors(n_levels, scale_factor)
 
-    xs, lvls, angs, resps, descs, valids = [], [], [], [], [], []
+    xs, lvls, resps, valids, patches = [], [], [], [], []
     for li, img in enumerate(levels):
         score = fast_ops.nms3x3(fast_ops.fast_score(img))
         score = jnp.where(score >= min_th, score, 0.0)
@@ -77,25 +77,26 @@ def _extract(
             score, per_level[li], cell=cell
         )
         blur = pyr_ops.gaussian_blur(img)
-        # Orientation from the blurred image (reference uses the raw level
-        # image; blur stabilizes the intensity centroid on weak-gradient
-        # patches at negligible cost — same blur feeds the descriptors).
-        ang = orb_ops.compute_orientations(blur, xy)
-        desc = orb_ops.compute_descriptors(blur, xy, ang)
+        # One 31x31 patch gather per keypoint from the blurred image feeds
+        # BOTH orientation and descriptors (reference computes IC_Angle on
+        # the raw level image; blur stabilizes the intensity centroid on
+        # weak-gradient patches at negligible cost).
+        patches.append(orb_ops.extract_patches(blur, xy))
 
         xs.append(xy * scales[li])
         lvls.append(jnp.full(per_level[li], li, jnp.int32))
-        angs.append(ang)
         resps.append(resp)
-        descs.append(desc)
         valids.append(valid)
 
     xy = jnp.concatenate(xs)
     lvl = jnp.concatenate(lvls)
-    ang = jnp.concatenate(angs)
     resp = jnp.concatenate(resps)
-    desc = jnp.concatenate(descs)
     valid = jnp.concatenate(valids)
+    # Orientation + rotated-BRIEF for ALL levels' keypoints in one MXU
+    # batch (patches are level-agnostic once gathered).
+    pat = jnp.concatenate(patches)
+    ang = orb_ops.orientations_from_patches(pat)
+    desc = orb_ops.descriptors_from_patches(pat, ang)
 
     n = xy.shape[0]
     if n < capacity:
