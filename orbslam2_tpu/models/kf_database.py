@@ -135,6 +135,30 @@ class KeyframeDatabase:
         keep = np.asarray(top_s) > 0.0
         return np.asarray(top_i)[keep]
 
+    # -- maintenance ---------------------------------------------------------
+
+    def remap(self, kf_new_from_old: np.ndarray):
+        """Apply a keyframe-pool compaction (map_state.compact_map): row j of
+        the database becomes the row of the old id that moved to slot j;
+        rows of dropped keyframes are cleared."""
+        K = self.has_entry.shape[0]
+        kf_map = np.asarray(kf_new_from_old)
+        old_of_new = np.full(K, -1, np.int64)
+        kept = np.nonzero(kf_map >= 0)[0]
+        old_of_new[kf_map[kept]] = kept
+        src = np.maximum(old_of_new, 0)
+        live = jnp.asarray(old_of_new >= 0)
+        if self.sparse:
+            self.db_words = jnp.where(
+                live[:, None], self.db_words[src], -1
+            )
+            self.db_weights = jnp.where(
+                live[:, None], self.db_weights[src], 0.0
+            )
+        else:
+            self.bow = jnp.where(live[:, None], self.bow[src], 0.0)
+        self.has_entry = live & self.has_entry[src]
+
     # -- compat ------------------------------------------------------------
 
     def frame_bow(self, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

@@ -245,7 +245,7 @@ def fuse_with_neighbor(
         & (dist >= 0.8 * m.pt_min_dist[pid])
         & (dist <= 1.2 * m.pt_max_dist[pid])
     )
-    pred_level = ms.predict_scale(dist, m.pt_max_dist[pid])
+    pred_level = ms.predict_scale(dist, m.pt_max_dist[pid], scale_factors)
     d2 = jnp.sum((uv[:, None, :] - m.kf_xy[kf_b][None, :, :]) ** 2, axis=-1)
     rr = (3.0 * scale_factors[pred_level]) ** 2
     lvl_ok = jnp.abs(m.kf_level[kf_b][None, :] - pred_level[:, None]) <= 1
@@ -301,7 +301,7 @@ class LocalMapper:
             m = local_bundle_adjustment(
                 m, jnp.int32(1), self.cam, self.inv_sigma2,
             )
-            m = ms.update_point_stats(m)
+            m = ms.update_point_stats(m, self.scale_factors)
         return m
 
     def process_keyframe(self, m: ms.MapState, kf_id: int) -> ms.MapState:
@@ -319,10 +319,10 @@ class LocalMapper:
                 nb = neighbor_ids[i]
                 m = fuse_with_neighbor(m, kf, nb, self.cam, self.scale_factors)
                 m = fuse_with_neighbor(m, nb, kf, self.cam, self.scale_factors)
-        m = ms.update_point_stats(m)
+        m = ms.update_point_stats(m, self.scale_factors)
         if self.enable_ba:
             m = local_bundle_adjustment(m, kf, self.cam, self.inv_sigma2)
-            m = ms.update_point_stats(m)
+            m = ms.update_point_stats(m, self.scale_factors)
         if self.enable_kf_culling:
             m = cull_keyframes(m, kf)
         return m

@@ -87,6 +87,28 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
+    def remap(self, kf_new_from_old):
+        """Apply a keyframe-pool compaction (map_state.compact_map) to the
+        host-held keyframe-id state."""
+        import numpy as _np
+
+        kf_map = _np.asarray(kf_new_from_old)
+
+        def r(k):
+            return int(kf_map[k]) if 0 <= k < len(kf_map) else -1
+
+        self.loop_edges = [
+            (r(a), r(b), S) for a, b, S in self.loop_edges
+            if r(a) >= 0 and r(b) >= 0
+        ]
+        self.last_loop_kf = (
+            r(self.last_loop_kf) if self.last_loop_kf >= 0 else -100
+        )
+        # Streak groups reference pre-compaction ids; reset (one detection
+        # cycle restarts — same effect as the reference clearing consistent
+        # groups after a correction).
+        self.candidate_streak = {}
+
     def process_keyframe(self, m: ms.MapState, kf_id: int) -> ms.MapState:
         """Returns the (possibly loop-corrected) map."""
         if kf_id - self.last_loop_kf < 10 or int(m.n_kf) < 8:
@@ -333,7 +355,8 @@ class LoopCloser:
         # Global refinement (the reference's background GBA).
         if self.enable_gba:
             m = global_bundle_adjustment(m, self.cam, self.inv_sigma2, rounds=6)
-        m = ms.update_point_stats(m)
+        m = ms.update_point_stats(m, jnp.asarray(pyr_ops.scale_factors(
+            self.settings.orb.n_levels, self.settings.orb.scale_factor)))
         return m
 
 
@@ -372,7 +395,7 @@ def _fuse_into_keyframe(
         & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
         & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
     )
-    pred_level = ms.predict_scale(dist, m.pt_max_dist[cand_pids])
+    pred_level = ms.predict_scale(dist, m.pt_max_dist[cand_pids], scale_factors)
     kp_xy = m.kf_xy[kf_id]
     kp_valid = m.kf_kp_valid[kf_id]
     d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
@@ -448,7 +471,7 @@ def project_loop_matches(
     # Scale-band + predicted-level radius as in the reference (th=10).
     O_l = -m.kf_pose_cw[kf_l][:3, :3].T @ m.kf_pose_cw[kf_l][:3, 3]
     dist = jnp.linalg.norm(m.pt_pos[pids] - O_l, axis=-1)
-    pred_level = ms.predict_scale(dist, m.pt_max_dist[pids])
+    pred_level = ms.predict_scale(dist, m.pt_max_dist[pids], scale_factors)
     d2 = jnp.sum((uv[:, None, :] - m.kf_xy[kf_c][None, :, :]) ** 2, axis=-1)
     rr = (10.0 * scale_factors[pred_level]) ** 2
     mres = match_descriptors(

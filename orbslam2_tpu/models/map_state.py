@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NO_POINT = -1
 
@@ -158,7 +159,7 @@ def best_covisible(m: MapState, kf_id: jnp.ndarray, n_best: int = 10):
 
 
 @jax.jit
-def update_point_stats(m: MapState) -> MapState:
+def update_point_stats(m: MapState, scale_factors: jnp.ndarray = None) -> MapState:
     """Recompute distinctive descriptors, normals and scale bands for all
     valid points from the forward index — the batch equivalent of
     MapPoint::ComputeDistinctiveDescriptors (MapPoint.cc:≈260) and
@@ -202,10 +203,15 @@ def update_point_stats(m: MapState) -> MapState:
     has_slot = jnp.any(slot_match, axis=-1)
     slot = jnp.argmax(slot_match, axis=-1)
     octave = m.kf_level[ref_kf, slot]
-    scale = 1.2 ** octave.astype(jnp.float32)
-    n_levels = 8
+    # Scale band from the ACTUAL pyramid (the reference uses the
+    # extractor's mvScaleFactors / nLevels, MapPoint.cc:≈320); defaulting
+    # to 8x1.2 when the caller predates the scale_factors argument.
+    if scale_factors is None:
+        scale_factors = 1.2 ** jnp.arange(8, dtype=jnp.float32)
+    L = scale_factors.shape[0]
+    scale = scale_factors[jnp.clip(octave, 0, L - 1)]
     max_dist = dist_ref * scale
-    min_dist = max_dist / (1.2 ** (n_levels - 1))
+    min_dist = max_dist / scale_factors[L - 1]
     # Latest-observation descriptor:
     desc = m.kf_desc[ref_kf, slot]
 
@@ -218,12 +224,98 @@ def update_point_stats(m: MapState) -> MapState:
     )
 
 
+def compact_map(m: MapState):
+    """Host-side keyframe-pool compaction (SURVEY.md §2.1 Map note:
+    'compaction is a host-side op').
+
+    The keyframe pool is append-only on device (monotonic slot ids keep the
+    jitted programs free of free-list logic in the hot path); culled
+    keyframes (KeyFrameCulling / SetBadFlag, LocalMapping.cc:≈500) leave
+    masked holes.  When the pool nears capacity the host compacts: valid
+    keyframes slide down to dense slots 0..K'-1 in id order, every id
+    reference (parents, point ref-KFs) is remapped, and the freed tail is
+    reusable.  Point slots already reuse a free-list (tracking.add_points)
+    and are left in place.
+
+    Callers must first re-anchor any external id references (trajectory
+    logs, databases) using the returned map.
+
+    Returns (m2, kf_new_from_old): (K,) int32, -1 where the old id was
+    culled/dropped.
+    """
+    K = m.kf_capacity
+    kf_valid = np.asarray(m.kf_valid)
+    n_kf = int(m.n_kf)
+    kf_valid = kf_valid.copy()
+    kf_valid[n_kf:] = False
+    old_ids = np.nonzero(kf_valid)[0]
+    kf_map = np.full(K, -1, np.int64)
+    kf_map[old_ids] = np.arange(len(old_ids))
+
+    def take_kf(arr, fill=0):
+        a = np.asarray(arr)
+        out = np.full_like(a, fill)
+        out[: len(old_ids)] = a[old_ids]
+        return jnp.asarray(out)
+
+    # Parents: walk up through culled ancestors to the nearest survivor.
+    parent = np.asarray(m.kf_parent).astype(np.int64)
+    resolved = parent.copy()
+    for _ in range(8):
+        bad = (resolved >= 0) & (kf_map[np.maximum(resolved, 0)] < 0)
+        if not bad.any():
+            break
+        resolved[bad] = parent[np.maximum(resolved[bad], 0)]
+    new_parent = np.where(resolved >= 0, kf_map[np.maximum(resolved, 0)], -1)
+    new_parent = new_parent[old_ids]
+    new_parent_full = np.full(K, -1, np.int64)
+    new_parent_full[: len(old_ids)] = new_parent
+
+    ref = kf_map[np.clip(np.asarray(m.pt_ref_kf), 0, K - 1)]
+    first = kf_map[np.clip(np.asarray(m.pt_first_kf), 0, K - 1)]
+
+    # Freed pose slots -> identity (never a zero matrix: padded covisibility
+    # gathers in BA may touch invalid slots and must stay finite).
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[: len(old_ids)] = np.asarray(m.kf_pose_cw)[old_ids]
+
+    m2 = m._replace(
+        kf_pose_cw=jnp.asarray(poses),
+        kf_xy=take_kf(m.kf_xy),
+        kf_level=take_kf(m.kf_level),
+        kf_angle=take_kf(m.kf_angle),
+        kf_desc=take_kf(m.kf_desc),
+        kf_ur=take_kf(m.kf_ur, fill=-1),
+        kf_kp_valid=take_kf(m.kf_kp_valid, fill=False),
+        kf_point=take_kf(m.kf_point, fill=NO_POINT),
+        kf_valid=take_kf(m.kf_valid, fill=False),
+        kf_frame_id=take_kf(m.kf_frame_id),
+        kf_parent=jnp.asarray(new_parent_full.astype(np.int32)),
+        pt_ref_kf=jnp.asarray(np.maximum(ref, 0).astype(np.int32)),
+        pt_first_kf=jnp.asarray(np.maximum(first, 0).astype(np.int32)),
+        n_kf=jnp.int32(len(old_ids)),
+    )
+    return m2, kf_map
+
+
 @jax.jit
 def predict_scale(
-    dist: jnp.ndarray, max_dist: jnp.ndarray, n_levels: int = 8,
-    log_scale: float = jnp.log(1.2),
+    dist: jnp.ndarray, max_dist: jnp.ndarray,
+    scale_factors: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """MapPoint::PredictScale (MapPoint.cc:≈400): octave from distance ratio."""
+    """MapPoint::PredictScale (MapPoint.cc:≈400): octave from distance ratio.
+
+    ``scale_factors`` is the extractor's per-level scale LUT; the predicted
+    octave is the count of levels whose scale is below the distance ratio
+    (== ceil(log(ratio)/log(sf)) for a geometric LUT), clipped to the
+    actual pyramid depth exactly as the reference clips to nLevels-1 —
+    using the LUT keeps predictions consistent with the real pyramid
+    instead of a hardcoded 8-level 1.2x one.
+    """
+    if scale_factors is None:
+        scale_factors = 1.2 ** jnp.arange(8, dtype=jnp.float32)
     ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-9), 1e-9)
-    lvl = jnp.ceil(jnp.log(ratio) / log_scale).astype(jnp.int32)
-    return jnp.clip(lvl, 0, n_levels - 1)
+    lvl = jnp.sum(
+        scale_factors[None, :] < ratio[..., None], axis=-1
+    ).astype(jnp.int32)
+    return jnp.clip(lvl, 0, scale_factors.shape[0] - 1)

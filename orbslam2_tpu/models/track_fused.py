@@ -293,7 +293,7 @@ def make_fused_chunk_tracker(
                 m, kid = insert_keyframe(
                     m, frame, out.T_cw, fid, bindings, ctx.ref_kf
                 )
-                m = ms.update_point_stats(m)
+                m = ms.update_point_stats(m, scale_factors)
                 return m, kid, bindings
 
             def without_kf(m):

@@ -221,7 +221,7 @@ def track_local_map(
         & ~already[local_ids]
     )
 
-    pred_level = ms.predict_scale(dist, m.pt_max_dist[local_ids])
+    pred_level = ms.predict_scale(dist, m.pt_max_dist[local_ids], scale_factors)
     # Viewing-angle-dependent radius (reference: 2.5 px if cos>0.998 else
     # 4.0, times the predicted octave's scale factor).
     r = jnp.where(view_cos > 0.998, 2.5, 4.0) * radius_mult
@@ -826,6 +826,8 @@ class Tracker:
                 lb, NO_POINT,
             )
             self._next_ctx = self._next_ctx._replace(last_bindings=lb)
+            self._reanchor_culled_refs()
+            self._maybe_compact()
 
         if self.state == TrackState.LOST and self.database is not None:
             # Relocalize on the chunk's last frame (rebuilt host-side from
@@ -1064,7 +1066,7 @@ class Tracker:
         m, kf1 = insert_keyframe(
             m, cur_n, T21, jnp.int32(self.frame_id), bind1_n, jnp.int32(0)
         )
-        m = ms.update_point_stats(m)
+        m = ms.update_point_stats(m, self.scale_factors)
         self.map = m
         if self.database is not None:
             self.database.add_keyframe(int(kf0), ref_n.desc, ref_n.valid)
@@ -1091,7 +1093,7 @@ class Tracker:
         m, kf0 = insert_keyframe(
             m, frame, T0, jnp.int32(self.frame_id), bind, jnp.int32(-1)
         )
-        m = ms.update_point_stats(m)
+        m = ms.update_point_stats(m, self.scale_factors)
         self.map = m
         if self.database is not None:
             self.database.add_keyframe(int(kf0), frame.desc, frame.valid)
@@ -1179,7 +1181,7 @@ class Tracker:
             m, frame, T, jnp.int32(fid), bindings,
             jnp.int32(self.ref_kf),
         )
-        m = ms.update_point_stats(m)
+        m = ms.update_point_stats(m, self.scale_factors)
         self.map = m
         self.metrics["keyframes_created"] += 1
         self.ref_kf = int(kf_id)
@@ -1198,6 +1200,78 @@ class Tracker:
             & (self.last_bindings >= 0),
             self.last_bindings, NO_POINT,
         )
+        if self.local_mapper is not None:
+            self._reanchor_culled_refs()
+        self._maybe_compact()
+
+    # -- keyframe-pool maintenance ------------------------------------------
+
+    def _reanchor_culled_refs(self):
+        """Re-anchor trajectory entries whose reference keyframe was culled
+        to its nearest valid ancestor — the reference replays bad keyframes
+        through their spanning-tree parents at save time
+        (System::SaveTrajectoryTUM, System.cc:≈270).  We do it eagerly while
+        the culled pose is still consistent with the live map, so later
+        loop/BA corrections reach these frames through the ancestor."""
+        kf_valid = np.asarray(self.map.kf_valid)
+        refs = np.array([e[2] for e in self.trajectory], np.int64)
+        if refs.size == 0:
+            return
+        bad = np.unique(refs[(refs >= 0) & ~kf_valid[np.maximum(refs, 0)]])
+        if bad.size == 0:
+            return
+        poses = np.asarray(self.map.kf_pose_cw)
+        parent = np.asarray(self.map.kf_parent)
+        anc = {}
+        for r in bad.tolist():
+            a = r
+            for _ in range(64):
+                a = int(parent[a]) if a >= 0 else -1
+                if a < 0 or kf_valid[a]:
+                    break
+            if a < 0 or not kf_valid[a]:
+                a = 0  # root keyframe is never culled
+            # T_c<-anc = T_c<-r @ T_r<-w @ T_w<-anc
+            anc[r] = (a, poses[r] @ np.linalg.inv(poses[a]))
+        self.trajectory = [
+            (fid, np.asarray(T_cr) @ anc[ref][1], anc[ref][0], lost)
+            if ref in anc else (fid, T_cr, ref, lost)
+            for fid, T_cr, ref, lost in self.trajectory
+        ]
+
+    def _maybe_compact(self):
+        """Compact the keyframe pool when it nears capacity (culled slots
+        are reclaimed; every id reference host and device side is remapped).
+        No-op while the pool has headroom or when nothing was culled."""
+        cap = self.map.kf_capacity
+        if int(self.map.n_kf) < cap - 4:
+            return
+        self._reanchor_culled_refs()
+        m2, kf_map = ms.compact_map(self.map)
+        if int(m2.n_kf) >= int(self.map.n_kf):
+            return  # nothing reclaimed; pool genuinely full
+        self.map = m2
+
+        def r(k):
+            return int(kf_map[k]) if k >= 0 else -1
+
+        self.ref_kf = max(r(self.ref_kf), 0)
+        self.metrics["compactions"] = self.metrics.get("compactions", 0) + 1
+        self.trajectory = [
+            (fid, T_cr, max(r(ref), 0), lost)
+            for fid, T_cr, ref, lost in self.trajectory
+        ]
+        if self.last_bindings is not None:
+            # Point ids are untouched by keyframe compaction.
+            pass
+        if self._next_ctx is not None:
+            self._next_ctx = self._next_ctx._replace(
+                ref_kf=jnp.int32(self.ref_kf)
+            )
+        if self.database is not None:
+            self.database.remap(kf_map)
+        if self.loop_closer is not None:
+            self.loop_closer.remap(kf_map)
 
     # -- bookkeeping -------------------------------------------------------
 
