@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--frames", type=int, default=84)
     ap.add_argument("--radius", type=float, default=1.5)
     ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--no-ba", action="store_true")
+    ap.add_argument("--fuse", action="store_true")
     args = ap.parse_args()
 
     from orbslam2_tpu.config import (
@@ -48,6 +50,10 @@ def main():
     )
 
     sys_ = SlamSystem(settings, Sensor.MONOCULAR)
+    if args.no_ba:
+        sys_.local_mapper.enable_ba = False
+    if args.fuse:
+        sys_.local_mapper.enable_fuse = True
     states = []
     t0 = time.time()
     for i in range(args.frames):

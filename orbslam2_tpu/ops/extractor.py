@@ -69,9 +69,18 @@ def _extract(
     levels = pyr_ops.build_pyramid(image.astype(jnp.float32), n_levels, scale_factor)
     scales = pyr_ops.scale_factors(n_levels, scale_factor)
 
+    # On TPU the fused Pallas detector streams each level through VMEM in
+    # one pass (score + NMS, image read once); CPU tests use the XLA path.
+    use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from .pallas_kernels import fast_score_nms_pallas
+
     xs, lvls, resps, valids, patches = [], [], [], [], []
     for li, img in enumerate(levels):
-        score = fast_ops.nms3x3(fast_ops.fast_score(img))
+        if use_pallas:
+            score = fast_score_nms_pallas(img)
+        else:
+            score = fast_ops.nms3x3(fast_ops.fast_score(img))
         score = jnp.where(score >= min_th, score, 0.0)
         xy, resp, valid = select_ops.select_keypoints(
             score, per_level[li], cell=cell

@@ -1,15 +1,22 @@
-"""Pallas TPU kernels for the matching hot path.
+"""Pallas TPU kernels for the front-end hot path.
 
-The packed-Hamming distance matrix is the framework's most-executed op
-(every SearchBy* variant reduces over it — ops/hamming.py).  The XLA
-lowering materializes the (Na, Nb, 8) XOR tensor in HBM; this kernel tiles
-the computation through VMEM so each (128, 128) output tile reads its two
-descriptor blocks once and keeps the XOR/popcount intermediate on-chip —
-HBM traffic drops from O(Na*Nb*8) words to O(Na*Nb/128 * 8) block reads +
-the output.
+1. Packed-Hamming distance matrix — the framework's most-executed op
+   (every SearchBy* variant reduces over it — ops/hamming.py).  The XLA
+   lowering materializes the (Na, Nb, 8) XOR tensor in HBM; this kernel
+   tiles the computation through VMEM so each (128, 128) output tile reads
+   its two descriptor blocks once and keeps the XOR/popcount intermediate
+   on-chip.
 
-Used automatically on TPU for aligned shapes; ops/hamming.py falls back to
-the XLA path elsewhere (CPU tests, odd shapes).
+2. Fused FAST-9 corner score + 3x3 NMS — the detector half of
+   ORBextractor::ComputeKeyPointsOctTree (src/ORBextractor.cc:≈790).  The
+   XLA path builds 16 shifted difference maps + 2x16 rolling window-mins +
+   a reduce_window NMS, each a full-image HBM round trip when fusion
+   breaks; this kernel streams row strips through VMEM and does the whole
+   detector (diffs, arc mins, score, NMS with raster tie-break) in one
+   pass: the image is read once, the suppressed score map written once.
+
+Used automatically on TPU; callers fall back to XLA paths elsewhere
+(CPU tests, odd shapes).
 """
 
 from __future__ import annotations
@@ -67,3 +74,131 @@ def hamming_matrix_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarr
             transcendentals=0,
         ),
     )(desc_a, desc_bt)
+
+
+# ---------------------------------------------------------------------------
+# Fused FAST-9 score + 3x3 NMS
+# ---------------------------------------------------------------------------
+
+# Bresenham circle offsets, duplicated from ops/fast.py (kept static here so
+# the kernel has no runtime dependency on that module's arrays).
+_CIRCLE = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+    (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+_ARC = 9
+_HALO = 4          # 3 px circle radius + 1 px NMS ring
+_STRIP = 32        # output rows per grid step
+
+
+def _fast_nms_kernel(img_ref, out_ref, *, h: int, w: int):
+    """One row strip: img (1, STRIP + 2*HALO, Wp) -> out (1, STRIP, Wp)."""
+    strip = pl.program_id(0)
+    img = img_ref[0]                     # (S + 8, Wp) float32
+    S = _STRIP
+    Wp = img.shape[1]
+
+    # Column-rolled copies of the strip (lane shifts); row offsets become
+    # static slices below.  Wrap-around columns land in the zero padding /
+    # outside the interior mask.
+    rolled = {}
+    for dx in {-3, -2, -1, 0, 1, 2, 3}:
+        rolled[dx] = pltpu.roll(img, (-dx) % Wp, axis=1) if dx else img
+
+    # Scores for rows [HALO-1, HALO-1 + S+2): the strip's S output rows plus
+    # the one-row NMS ring above and below.
+    r0 = _HALO - 1                       # = 3: circle halo satisfied
+    center = img[r0:r0 + S + 2, :]
+    diffs = [
+        rolled[dx][r0 + dy:r0 + dy + S + 2, :] - center
+        for dy, dx in _CIRCLE
+    ]
+
+    # min over each circular 9-window (log-depth tree, fully unrolled).
+    def window_min(maps):
+        n = len(maps)
+        m2 = [jnp.minimum(maps[s], maps[(s + 1) % n]) for s in range(n)]
+        m4 = [jnp.minimum(m2[s], m2[(s + 2) % n]) for s in range(n)]
+        m8 = [jnp.minimum(m4[s], m4[(s + 4) % n]) for s in range(n)]
+        return [jnp.minimum(m8[s], maps[(s + 8) % n]) for s in range(n)]
+
+    bright = window_min(diffs)
+    dark = window_min([-d for d in diffs])
+    score = bright[0]
+    for s in range(16):
+        score = jnp.maximum(score, bright[s])
+        score = jnp.maximum(score, dark[s])
+    score = jnp.maximum(score, 0.0)      # (S + 2, Wp)
+
+    # Interior mask in GLOBAL image coordinates (3-px circle border).
+    gy = (
+        jax.lax.broadcasted_iota(jnp.int32, (S + 2, Wp), 0)
+        + strip * S + _HALO - 1 - _HALO  # global row of score row 0
+    )
+    gx = jax.lax.broadcasted_iota(jnp.int32, (S + 2, Wp), 1) - _HALO
+    interior = (gy >= 3) & (gy < h - 3) & (gx >= 3) & (gx < w - 3)
+    score = jnp.where(interior, score, 0.0)
+
+    # 3x3 NMS with raster-order tie-break: keep pixel p iff for every
+    # neighbor n: score > n (strict) when n precedes p in raster order,
+    # score >= n when n follows — i.e. p is the first raster-order maximum
+    # of its window (matches ops/fast.nms3x3).
+    s_mid = score[1:1 + S, :]            # (S, Wp) the strip's output rows
+    keep = jnp.ones(s_mid.shape, bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = (pltpu.roll(score, (-dx) % Wp, axis=1) if dx else score)[
+                1 + dy:1 + dy + S, :]
+            precedes = (dy < 0) or (dy == 0 and dx < 0)
+            keep = keep & ((s_mid > n) if precedes else (s_mid >= n))
+    out_ref[0] = jnp.where(keep, s_mid, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_score_nms_pallas(image: jnp.ndarray, interpret: bool = False):
+    """Dense FAST-9 score with 3x3 NMS applied, one fused VMEM pass.
+
+    Matches ops/fast.nms3x3(ops/fast.fast_score(image)) (same score
+    semantics: max threshold with a surviving 9-arc; raster tie-break).
+    """
+    h, w = image.shape
+    S = _STRIP
+    n_strips = -(-h // S)
+    hp = n_strips * S + 2 * _HALO
+    wp = -(-(w + 2 * _HALO) // 128) * 128
+    img = jnp.zeros((hp, wp), jnp.float32)
+    img = jax.lax.dynamic_update_slice(
+        img, image.astype(jnp.float32), (_HALO, _HALO)
+    )
+    # Overlapping strips materialized once: (n_strips, S + 2*HALO, wp).
+    strips = jnp.stack(
+        [jax.lax.dynamic_slice(img, (i * S, 0), (S + 2 * _HALO, wp))
+         for i in range(n_strips)]
+    )
+    out = pl.pallas_call(
+        functools.partial(_fast_nms_kernel, h=h, w=w),
+        out_shape=jax.ShapeDtypeStruct((n_strips, S, wp), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(n_strips,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, S + 2 * _HALO, wp), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, S, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=hp * wp * 200,
+            bytes_accessed=n_strips * (S + 2 * _HALO) * wp * 4 + hp * wp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(strips)
+    return out.reshape(n_strips * S, wp)[:h, _HALO:_HALO + w]
