@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--fuse", action="store_true")
+    ap.add_argument("--points", type=int, default=500)
     args = ap.parse_args()
 
     from orbslam2_tpu.config import (
@@ -46,7 +47,7 @@ def main():
     cam = settings.camera_model()
     seq = synthetic.make_loop_sequence(
         cam, n_frames=args.frames, circle_radius=args.radius,
-        with_depth=False, seed=args.seed,
+        with_depth=False, seed=args.seed, n_points=args.points,
     )
 
     sys_ = SlamSystem(settings, Sensor.MONOCULAR)
