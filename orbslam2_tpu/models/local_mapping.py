@@ -41,7 +41,14 @@ NO_POINT = ms.NO_POINT
 def cull_map_points(m: ms.MapState) -> ms.MapState:
     """MapPointCulling: drop points with found/visible < 0.25, or points
     that are no longer observed by >= 2 keyframes once mature
-    (>= 2 keyframes after creation)."""
+    (>= 2 keyframes after creation).
+
+    Pool-pressure extension (no reference analog — its heap is unbounded):
+    when the fixed point pool is > 90% full the weakest survivors are also
+    dropped down to the budget, ranked by observation count then found
+    ratio, with freshly created points protected.  Without this, a full
+    pool silently stops triangulation and tracking starves ~20 frames
+    later."""
     found_ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0
     )
@@ -49,6 +56,17 @@ def cull_map_points(m: ms.MapState) -> ms.MapState:
     age = m.n_kf - m.pt_first_kf  # keyframes since creation
     bad = (found_ratio < 0.25) | ((age >= 2) & (n_obs < 2))
     keep = m.pt_valid & ~bad
+
+    P = m.pt_capacity
+    budget = int(0.90 * P)
+    over = jnp.sum(keep) > budget
+    value = (
+        jnp.minimum(n_obs, 16).astype(jnp.float32) + found_ratio
+        + jnp.where(age < 3, 100.0, 0.0)  # protect fresh points
+    )
+    _, top_ids = jax.lax.top_k(jnp.where(keep, value, -jnp.inf), budget)
+    in_budget = jnp.zeros((P,), bool).at[top_ids].set(True)
+    keep = jnp.where(over, keep & in_budget, keep)
     # Scrub keyframe bindings to culled points NOW: their pool slots are
     # reusable (tracking.add_points free-list), and a stale binding would
     # silently re-attach to whatever point takes the slot next.

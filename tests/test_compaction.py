@@ -177,3 +177,54 @@ class TestForcedCompaction:
         # Culling half the interior keyframes costs accuracy; the gate is
         # staying alive + bounded drift (the untouched run achieves ~0.2).
         assert ate < 1.5, f"post-compaction ATE {ate}"
+
+
+class TestPointPoolPressure:
+    def test_cull_drops_to_budget_keeping_valuable(self):
+        """When the point pool exceeds 90% occupancy, cull_map_points drops
+        the weakest survivors (few observations / low found ratio) down to
+        budget, protecting fresh points."""
+        import jax.numpy as jnp
+
+        from orbslam2_tpu.models import map_state as ms
+        from orbslam2_tpu.models.local_mapping import cull_map_points
+
+        P, K, N = 256, 4, 64
+        m = ms.make_empty_map(K, P, N)
+        n_fill = int(0.95 * P)
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+        valid = np.zeros(P, bool)
+        valid[:n_fill] = True
+        # First half: well-observed (bound in 2 KFs); second half: orphans.
+        kf_point = np.full((K, N), -1, np.int32)
+        strong = np.arange(0, N)  # points 0..63 observed by KFs 0 and 1
+        kf_point[0, :] = strong
+        kf_point[1, :] = strong
+        visible = np.full(P, 10, np.int32)
+        found = np.full(P, 3, np.int32)  # ratio 0.3: above the base cull
+        found[:N] = 9  # strong points also have high found ratio
+        first_kf = np.zeros(P, np.int32)
+        first_kf[n_fill - 8:n_fill] = 9  # last 8 are freshly created
+        visible[n_fill - 8:n_fill] = 1   # fresh points start at 1/1
+        found[n_fill - 8:n_fill] = 1
+        m = m._replace(
+            pt_pos=jnp.asarray(pos),
+            pt_valid=jnp.asarray(valid),
+            pt_visible=jnp.asarray(visible),
+            pt_found=jnp.asarray(found),
+            pt_first_kf=jnp.asarray(first_kf),
+            kf_point=jnp.asarray(kf_point),
+            kf_kp_valid=jnp.ones((K, N), bool),
+            kf_valid=jnp.asarray(np.array([True, True, False, False])),
+            n_kf=jnp.int32(10),
+            n_pt=jnp.int32(n_fill),
+        )
+        m2 = cull_map_points(m)
+        n_after = int(m2.pt_valid.sum())
+        assert n_after <= int(0.90 * P)
+        kept = np.asarray(m2.pt_valid)
+        # Strong (multi-observed, high found ratio) points survive.
+        assert kept[:N].all(), "well-observed points were culled"
+        # Fresh points (age < 3) survive the pressure cull.
+        assert kept[n_fill - 8:n_fill].all(), "fresh points were culled"
