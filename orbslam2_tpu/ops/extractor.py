@@ -50,6 +50,9 @@ class Features(NamedTuple):
         return self.xy.shape[-2]
 
 
+FORCE_XLA_FAST = False  # trace-time switch: disable the Pallas detector
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -71,7 +74,8 @@ def _extract(
 
     # On TPU the fused Pallas detector streams each level through VMEM in
     # one pass (score + NMS, image read once); CPU tests use the XLA path.
-    use_pallas = jax.default_backend() not in ("cpu",)
+    # FORCE_XLA_FAST is a trace-time kill switch (perf debugging).
+    use_pallas = (not FORCE_XLA_FAST) and jax.default_backend() not in ("cpu",)
     if use_pallas:
         from .pallas_kernels import fast_score_nms_pallas
 

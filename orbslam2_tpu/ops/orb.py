@@ -106,9 +106,17 @@ def descriptors_from_patches(
 
     Steered BRIEF exactly as the reference (ORBextractor.cc:≈110): rotate
     the 256-pair pattern by the keypoint angle, round each offset to the
-    nearest pixel, compare I(p0) < I(p1).  The rotated offsets index into
-    the keypoint's own 31x31 patch (one take_along_axis row gather), so
-    the image itself is touched once per keypoint.
+    nearest pixel, compare I(p0) < I(p1).
+
+    The rotated offsets are data-dependent, so the natural lowering is a
+    (N, 512)-from-(N, 961) gather — but arbitrary-index gathers are the
+    TPU's slowest primitive (measured 5.2 ms/frame, the single largest op
+    in the whole tracking step).  Instead the sample is expressed as two
+    one-hot contractions over the patch axes — row select on the MXU,
+    column select on the VPU — which is bit-identical and ~1 GFLOP of
+    dense work (tens of microseconds):
+        sample[k,s] = sum_r onehot(ry)[k,s,r] *
+                      sum_c onehot(rx)[k,s,c] * patch[k,r,c]
     """
     n = patches.shape[0]
     pat = jnp.asarray(BRIEF_PATTERN, jnp.float32)  # (256, 2, 2) (x, y)
@@ -118,8 +126,13 @@ def descriptors_from_patches(
     sa = jnp.sin(angles)[:, None]
     rx = jnp.round(px * ca - py * sa).astype(jnp.int32) + HALF_PATCH
     ry = jnp.round(px * sa + py * ca).astype(jnp.int32) + HALF_PATCH
-    idx = ry * PATCH + rx  # (N, 512); offsets stay in-disc (r<=13.5<15)
-    samples = jnp.take_along_axis(patches, idx, axis=1).reshape(n, 256, 2)
+    # (N, 512, PATCH) one-hots; offsets stay in-disc (r <= 13.5 < 15).
+    grid = jnp.arange(PATCH, dtype=jnp.int32)
+    oh_y = (ry[:, :, None] == grid).astype(patches.dtype)
+    oh_x = (rx[:, :, None] == grid).astype(patches.dtype)
+    p2d = patches.reshape(n, PATCH, PATCH)
+    rows = jnp.einsum("ksr,krc->ksc", oh_y, p2d)   # row select (MXU)
+    samples = jnp.sum(oh_x * rows, axis=-1).reshape(n, 256, 2)
     bits = samples[:, :, 0] < samples[:, :, 1]  # (N, 256)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     return jnp.sum(
