@@ -75,3 +75,45 @@ class TestLiveDriver:
         est = sys.poses_wc()
         ate = synthetic.ate_rmse(est, seq.poses_wc, with_scale=False)
         assert ate < 0.05, f"live rgbd ATE {ate}"
+
+    def test_stereo_stream_with_rectify_hook(self):
+        """Stereo topics arriving out of order, through a rectification
+        hook (ros_stereo.cc's do_rectify path)."""
+        s = Settings(
+            camera=CameraSettings(
+                fx=320.0, fy=320.0, cx=160.0, cy=120.0,
+                k1=0, k2=0, p1=0, p2=0, k3=0,
+                width=320, height=240, bf=160.0, th_depth=40.0,
+                depth_map_factor=1.0,
+            ),
+            orb=OrbSettings(n_features=800, n_levels=4),
+            tpu=TpuSettings(max_keypoints=1024, max_keyframes=96,
+                            max_points=8192, min_init_matches=50),
+        )
+        cam = s.camera_model()
+        seq = synthetic.make_sequence(
+            cam, n_frames=12, n_points=400, stereo_baseline=0.5, seed=13,
+            radius=0.4, forward=0.8,
+        )
+        sys = SlamSystem(s, Sensor.STEREO)
+        calls = {"n": 0}
+
+        def rect(img):
+            calls["n"] += 1
+            return img  # identity maps (already-rectified input)
+
+        drv = LiveDriver(sys, "stereo", slop=0.02, rectify=(rect, rect))
+        for i in range(12):
+            t = float(seq.timestamps[i])
+            if i % 2:
+                drv.feed_stereo_right(seq.images[i][1], t + 0.003)
+                drv.feed_stereo_left(seq.images[i][0], t)
+            else:
+                drv.feed_stereo_left(seq.images[i][0], t)
+                drv.feed_stereo_right(seq.images[i][1], t + 0.003)
+        assert drv.frames == 12
+        assert calls["n"] == 24, "rectify hook must run on every pair"
+        assert sys.tracking_state() == 1
+        drv.shutdown()
+        ate = synthetic.ate_rmse(sys.poses_wc(), seq.poses_wc, with_scale=False)
+        assert ate < 0.15, f"live stereo ATE {ate}"
