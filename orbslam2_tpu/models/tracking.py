@@ -225,13 +225,11 @@ def track_local_map(
     # Viewing-angle-dependent radius (reference: 2.5 px if cos>0.998 else
     # 4.0, times the predicted octave's scale factor).
     r = jnp.where(view_cos > 0.998, 2.5, 4.0) * radius_mult
-    d2 = jnp.sum((uv[:, None, :] - frame.xy[None, :, :]) ** 2, axis=-1)
     rr = (r * scale_factors[pred_level]) ** 2
-    extra_mask = d2 <= rr[:, None]
-    level_ok = jnp.abs(frame.level[None, :] - pred_level[:, None]) <= 1
-    mres = match_descriptors(
-        m.pt_desc[local_ids], vis, frame.desc, frame.valid,
-        pair_mask=extra_mask & level_ok, max_dist=TH_HIGH, ratio=0.8,
+    mres = matcher.projection_match(
+        uv, rr, pred_level, m.pt_desc[local_ids], vis,
+        frame.xy, frame.level, frame.desc, frame.valid,
+        level_band=1, max_dist=TH_HIGH, ratio=0.8,
     )
 
     new_bindings = bindings

@@ -26,9 +26,79 @@ from .hamming import (
     TH_HIGH,
     TH_LOW,
     Matches,
+    hamming_matrix,
+    masked_best2,
     match_descriptors,
     rotation_consistency,
 )
+
+
+USE_PALLAS_PROJECTION_MATCH = False  # see note in projection_match
+
+
+def projection_match(
+    proj_uv: jnp.ndarray,      # (M, 2) projected source positions
+    rr2: jnp.ndarray,          # (M,) squared search radius per source
+    proj_level: jnp.ndarray,   # (M,) predicted octave
+    proj_desc: jnp.ndarray,    # (M, 8) u32
+    proj_valid: jnp.ndarray,   # (M,) bool
+    frame_xy: jnp.ndarray,     # (N, 2)
+    frame_level: jnp.ndarray,  # (N,)
+    frame_desc: jnp.ndarray,   # (N, 8) u32
+    frame_valid: jnp.ndarray,  # (N,) bool
+    level_band: int,
+    max_dist: int,
+    ratio: float,
+) -> Matches:
+    """The SearchByProjection core shared by the tracking hot paths:
+    nearest+second Hamming neighbor inside a per-source circular window and
+    octave band.  Default: the XLA composition (masked_best2 over the
+    Hamming matrix).  An equivalent single-pass Pallas kernel
+    (ops/pallas_kernels.projection_best2_pallas) exists behind
+    USE_PALLAS_PROJECTION_MATCH — see the note below."""
+    na, nb = proj_desc.shape[0], frame_desc.shape[0]
+    # The fused Pallas path is measured NET-SLOWER inside the big fused
+    # tracking program on v5e (7.0 vs 6.6 ms/frame): XLA already fuses the
+    # mask+reduction chain, and the pallas_call boundary + meta-array
+    # layouts cost more than the avoided (M, N) intermediates.  Kept as an
+    # opt-in (parity-tested) for topologies where HBM is the bottleneck.
+    use_pallas = (
+        USE_PALLAS_PROJECTION_MATCH
+        and jax.default_backend() not in ("cpu",)
+        and na % 128 == 0 and nb % 128 == 0
+    )
+    if use_pallas:
+        from .pallas_kernels import projection_best2_pallas
+
+        meta_a = jnp.zeros((na, 8), jnp.float32)
+        meta_a = meta_a.at[:, 0:2].set(proj_uv)
+        meta_a = meta_a.at[:, 2].set(rr2)
+        meta_a = meta_a.at[:, 3].set(proj_level.astype(jnp.float32))
+        meta_a = meta_a.at[:, 4].set(proj_valid.astype(jnp.float32))
+        meta_b = jnp.zeros((nb, 8), jnp.float32)
+        meta_b = meta_b.at[:, 0:2].set(frame_xy)
+        meta_b = meta_b.at[:, 2].set(frame_level.astype(jnp.float32))
+        meta_b = meta_b.at[:, 3].set(frame_valid.astype(jnp.float32))
+        best_idx, best, second = projection_best2_pallas(
+            proj_desc, meta_a, frame_desc, meta_b, level_band=level_band
+        )
+    else:
+        d2 = jnp.sum(
+            (proj_uv[:, None, :] - frame_xy[None, :, :]) ** 2, axis=-1
+        )
+        mask = (
+            (d2 <= rr2[:, None])
+            & (jnp.abs(frame_level[None, :] - proj_level[:, None])
+               <= level_band)
+            & proj_valid[:, None]
+            & frame_valid[None, :]
+        )
+        best_idx, best, second = masked_best2(
+            hamming_matrix(proj_desc, frame_desc), mask
+        )
+    ok = (best <= max_dist) & proj_valid
+    ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+    return Matches(idx=best_idx, dist=best, dist2=second, ok=ok)
 
 
 @functools.partial(
@@ -69,7 +139,9 @@ def search_for_initialization(
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("check_rotation",))
+@functools.partial(
+    jax.jit, static_argnames=("check_rotation", "level_band")
+)
 def search_by_projection(
     proj_uv: jnp.ndarray,
     proj_level: jnp.ndarray,
@@ -103,12 +175,10 @@ def search_by_projection(
       proj_angle: source angles for the optional rotation histogram.
     """
     r = radius * scale_factors[jnp.clip(proj_level, 0, scale_factors.shape[0] - 1)]
-    d2 = jnp.sum((proj_uv[:, None, :] - frame.xy[None, :, :]) ** 2, axis=-1)
-    spatial = d2 <= (r[:, None] ** 2)
-    level_ok = jnp.abs(frame.level[None, :] - proj_level[:, None]) <= level_band
-    m = match_descriptors(
-        proj_desc, proj_valid, frame.desc, frame.valid,
-        pair_mask=spatial & level_ok, max_dist=max_dist, ratio=ratio,
+    m = projection_match(
+        proj_uv, r * r, proj_level, proj_desc, proj_valid,
+        frame.xy, frame.level, frame.desc, frame.valid,
+        level_band=level_band, max_dist=max_dist, ratio=ratio,
     )
     if check_rotation and proj_angle is not None:
         ok = rotation_consistency(proj_angle, frame.angle, m.idx, m.ok)

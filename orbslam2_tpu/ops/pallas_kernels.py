@@ -202,3 +202,139 @@ def fast_score_nms_pallas(image: jnp.ndarray, interpret: bool = False):
         interpret=interpret,
     )(strips)
     return out.reshape(n_strips * S, wp)[:h, _HALO:_HALO + w]
+
+
+# ---------------------------------------------------------------------------
+# Fused projection matcher: Hamming + window/level mask + best-2 reduction
+# ---------------------------------------------------------------------------
+
+_INVALID = 10_000  # > any 256-bit distance (ops/hamming._INVALID_DIST)
+
+
+def _proj_best2_kernel(
+    a_ref, bt_ref, ma_ref, mb_ref, bi_ref, b1_ref, b2_ref, *, level_band: int
+):
+    """One (row-tile i, col-tile j) step of the fused projection matcher.
+
+    a_ref  (TILE, 8) u32   source descriptors
+    bt_ref (8, TILE) u32   target descriptors, transposed
+    ma_ref (TILE, 8) f32   per-source meta [u, v, rr2, level, valid, 0, 0, 0]
+    mb_ref (TILE, 8) f32   per-target meta [x, y, level, valid, 0, 0, 0, 0]
+    outputs (1, TILE): best index / best dist / second dist per source row,
+    merged across column tiles (grid dim 1 iterates sequentially).
+    """
+    j = pl.program_id(1)
+
+    dist = jnp.zeros((TILE, TILE), jnp.int32)
+    for k in range(8):
+        x = jnp.bitwise_xor(a_ref[:, k][:, None], bt_ref[k, :][None, :])
+        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+
+    du = ma_ref[:, 0][:, None] - mb_ref[:, 0][None, :]
+    dv = ma_ref[:, 1][:, None] - mb_ref[:, 1][None, :]
+    d2 = du * du + dv * dv
+    lvl_ok = (
+        jnp.abs(ma_ref[:, 3][:, None] - mb_ref[:, 2][None, :])
+        <= float(level_band)
+    )
+    mask = (
+        (d2 <= ma_ref[:, 2][:, None])
+        & lvl_ok
+        & (ma_ref[:, 4][:, None] > 0.5)
+        & (mb_ref[:, 3][None, :] > 0.5)
+    )
+    dist = jnp.where(mask, dist, _INVALID)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    t1 = jnp.min(dist, axis=1)
+    # First-minimum column without argmin (Mosaic argmin is f32-only):
+    # the smallest column index attaining the row minimum.
+    targ = jnp.min(
+        jnp.where(dist == t1[:, None], cols, TILE), axis=1
+    ).astype(jnp.int32)
+    t2 = jnp.min(jnp.where(cols == targ[:, None], _INVALID, dist), axis=1)
+    t_idx = targ + j * TILE
+
+    # Outputs are (1, 8, TILE) blocks (TPU block shapes need the last two
+    # dims (8k, 128)); the 8 sublane rows carry identical copies and row 0
+    # is read back by the caller.
+    @pl.when(j == 0)
+    def _():
+        bi_ref[0] = jnp.broadcast_to(t_idx, (8, TILE))
+        b1_ref[0] = jnp.broadcast_to(t1, (8, TILE))
+        b2_ref[0] = jnp.broadcast_to(t2, (8, TILE))
+
+    @pl.when(j > 0)
+    def _():
+        b1 = b1_ref[0, 0, :]
+        b2 = b2_ref[0, 0, :]
+        bi = bi_ref[0, 0, :]
+        take = t1 < b1  # strict: ties keep the earlier (lower) column
+        new_b2 = jnp.minimum(jnp.maximum(b1, t1), jnp.minimum(b2, t2))
+        bi_ref[0] = jnp.broadcast_to(jnp.where(take, t_idx, bi), (8, TILE))
+        b1_ref[0] = jnp.broadcast_to(jnp.minimum(b1, t1), (8, TILE))
+        b2_ref[0] = jnp.broadcast_to(new_b2, (8, TILE))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("level_band", "interpret")
+)
+def projection_best2_pallas(
+    desc_a: jnp.ndarray,   # (Na, 8) u32
+    meta_a: jnp.ndarray,   # (Na, 8) f32 [u, v, rr2, level, valid, ...]
+    desc_b: jnp.ndarray,   # (Nb, 8) u32
+    meta_b: jnp.ndarray,   # (Nb, 8) f32 [x, y, level, valid, ...]
+    level_band: int = 1,
+    interpret: bool = False,
+):
+    """Fused SearchByProjection core: for every source row, the best and
+    second-best Hamming distance over targets inside the source's search
+    window (d2 <= rr2) and octave band, plus validity — identical to
+    hamming.masked_best2(hamming_matrix(a, b), spatial & level & valid)
+    but without materializing any (Na, Nb) matrix in HBM.
+
+    Na, Nb must be multiples of 128 (callers' capacities are).
+    Returns (best_idx, best, second) int32.
+    """
+    na, nb = desc_a.shape[0], desc_b.shape[0]
+    grid = (na // TILE, nb // TILE)
+    bi, b1, b2 = pl.pallas_call(
+        functools.partial(_proj_best2_kernel, level_band=level_band),
+        out_shape=(
+            jax.ShapeDtypeStruct((na // TILE, 8, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((na // TILE, 8, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((na // TILE, 8, TILE), jnp.int32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TILE), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, 8), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 8, TILE), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, TILE), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, TILE), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=na * nb * 24,
+            bytes_accessed=(na + nb) * 64 * (nb // TILE) + 3 * na * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(desc_a, desc_b.T, meta_a, meta_b)
+    return (
+        bi[:, 0, :].reshape(na),
+        b1[:, 0, :].reshape(na),
+        b2[:, 0, :].reshape(na),
+    )
