@@ -143,3 +143,53 @@ class TestDeterminism:
         t1 = run()
         t2 = run()
         np.testing.assert_array_equal(t1, t2)
+
+
+class TestArOverlay:
+    """AR plane fit + cube overlay (the ros_mono_ar/ViewerAR capability,
+    SURVEY.md §2.4)."""
+
+    def test_plane_ransac_recovers_synthetic_plane(self):
+        import jax
+        import jax.numpy as jnp
+
+        from orbslam2_tpu.utils.ar import fit_plane_ransac
+
+        rng = np.random.default_rng(0)
+        n_on, n_off = 300, 60
+        # Plane through (0, 1, 0) with normal ~ (0.2, 0.9, 0.1).
+        n = np.array([0.2, 0.9, 0.1]); n /= np.linalg.norm(n)
+        u = np.cross(n, [1, 0, 0]); u /= np.linalg.norm(u)
+        v = np.cross(n, u)
+        ab = rng.uniform(-2, 2, (n_on, 2))
+        pts_on = np.array([0, 1.0, 0]) + ab[:, :1] * u + ab[:, 1:2] * v
+        pts_on += rng.normal(0, 0.005, pts_on.shape)
+        pts_off = rng.uniform(-3, 3, (n_off, 3))
+        pts = np.concatenate([pts_on, pts_off]).astype(np.float32)
+        valid = np.ones(len(pts), bool)
+        plane = fit_plane_ransac(
+            jnp.asarray(pts), jnp.asarray(valid), jax.random.PRNGKey(1),
+            inlier_th=0.02,
+        )
+        assert bool(plane.ok)
+        assert int(plane.n_inliers) >= 250
+        n_est = np.asarray(plane.normal)
+        assert abs(float(n_est @ n)) > 0.99, f"normal {n_est} vs {n}"
+
+    def test_overlay_writes_png(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from orbslam2_tpu.utils.ar import Plane, draw_ar_overlay
+        from orbslam2_tpu.utils.camera import make_camera
+
+        cam = make_camera(320.0, 320.0, 160.0, 120.0, width=320, height=240)
+        plane = Plane(
+            normal=jnp.asarray([0.0, 0.0, -1.0]),
+            point=jnp.asarray([0.0, 0.0, 3.0]),
+            n_inliers=jnp.int32(100), ok=jnp.asarray(True),
+        )
+        img = np.full((240, 320), 128, np.uint8)
+        p = tmp_path / "ar.png"
+        draw_ar_overlay(img, np.eye(4), cam, plane, str(p), size=0.5)
+        assert p.exists() and p.stat().st_size > 1000
