@@ -56,13 +56,19 @@ class LoopCloser:
         database: KeyframeDatabase,
         fix_scale: bool,
         enable_gba: bool = False,
+        gba_mode: str = "joint",
     ):
         # enable_gba: run the global-refinement stage after the essential
         # graph (the reference's background GBA).  Default off: with only
         # partial cross-seam fusion, BA's optimum is still dominated by
         # drift-consistent observations and can undo part of the graph
         # correction; the pose graph + fuse is the net-positive core.
+        # gba_mode: "joint" = one Schur LM problem over the whole active
+        # map (the reference's g2o BundleAdjustment shape, feasible to a
+        # few hundred KFs); "alternation" = resection/intersection
+        # block-coordinate descent (O(K + P) memory, any scale).
         self.enable_gba = enable_gba
+        self.gba_mode = gba_mode
         self.settings = settings
         self.cam = settings.camera_model()
         self.db = database
@@ -406,14 +412,46 @@ def _fuse_into_keyframe(
         pair_mask=(d2 <= rr[:, None]) & lvl_ok,
         max_dist=TH_LOW, ratio=1.0,
     )
-    # Rebind matched slots to the loop-side point (Replace semantics).
+    # Rebind matched slots to the loop-side point.  Where the slot was
+    # bound to a DIFFERENT current-side point, apply the reference's full
+    # MapPoint::Replace (MapPoint.cc:≈180): rebind EVERY observation of
+    # the duplicate (across all keyframes) to the loop-side point, merge
+    # its tracking statistics, and invalidate it.  Partial (one-KF)
+    # rebinding leaves drifted duplicates alive in the rest of the
+    # covisible group, and global BA's optimum is then the pre-loop
+    # geometry — the fix that makes post-loop GBA net-positive.
     row = m.kf_point[kf_id]
     tgt = jnp.where(mres.ok, mres.idx, 0)
     incoming = jnp.full_like(row, ms.NO_POINT).at[tgt].set(
         jnp.where(mres.ok, cand_pids, ms.NO_POINT), mode="drop"
     )
-    row_new = jnp.where(incoming >= 0, incoming, row)
-    return m._replace(kf_point=m.kf_point.at[kf_id].set(row_new))
+    P = m.pt_capacity
+    do_repl = (incoming >= 0) & (row >= 0) & (row != incoming)
+    old_idx = jnp.where(do_repl, row, P)  # P = out of bounds -> dropped
+    repl = (
+        jnp.arange(P, dtype=row.dtype)
+        .at[old_idx].set(jnp.where(do_repl, incoming, 0), mode="drop")
+    )
+    kf_point = jnp.where(
+        m.kf_point >= 0, repl[jnp.clip(m.kf_point, 0, P - 1)], m.kf_point
+    )
+    # Merge found/visible counters into the survivor (Replace merges them).
+    new_idx = jnp.where(do_repl, incoming, P)
+    old_safe = jnp.clip(row, 0, P - 1)
+    pt_visible = m.pt_visible.at[new_idx].add(
+        jnp.where(do_repl, m.pt_visible[old_safe], 0), mode="drop"
+    )
+    pt_found = m.pt_found.at[new_idx].add(
+        jnp.where(do_repl, m.pt_found[old_safe], 0), mode="drop"
+    )
+    pt_valid = m.pt_valid.at[old_idx].set(False, mode="drop")
+    # Bind still-unbound slots of this keyframe (new observations).
+    row2 = kf_point[kf_id]
+    row_new = jnp.where((row2 < 0) & (incoming >= 0), incoming, row2)
+    return m._replace(
+        kf_point=kf_point.at[kf_id].set(row_new),
+        pt_valid=pt_valid, pt_visible=pt_visible, pt_found=pt_found,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -169,3 +169,98 @@ def global_bundle_adjustment(
         pts = jnp.where(total_err(poses, pts_new) < err1, pts_new, pts)
 
     return m._replace(kf_pose_cw=poses, pt_pos=pts)
+
+
+# ---------------------------------------------------------------------------
+# Joint global BA (the reference's actual GBA shape: one LM problem over all
+# keyframes + points, g2o BundleAdjustment, Optimizer.cc:≈80) — feasible on
+# TPU up to a few hundred keyframes by compacting the active map and running
+# the SAME Schur-complement engine as local BA over all of it.  Beyond
+# max_cams, the caller should fall back to the alternation solver above.
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int, lo: int = 16) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+def run_joint_global_ba(
+    m: ms.MapState,
+    cam: CameraModel,
+    inv_sigma2_lut: jnp.ndarray,
+    phase_iters: Tuple[int, int] = (5, 10),
+    max_cams: int = 512,
+) -> ms.MapState:
+    """Joint Schur GBA over ALL active keyframes/points (compacted).
+
+    Host-side prep (GBA runs once per loop closure; not a hot path):
+    gather the valid keyframes and points into dense prefixes padded to a
+    power of two, remap the observation index, run ``schur_ba_core`` with
+    every camera free except the lowest-id keyframe (the reference fixes
+    KF0, Optimizer.cc:≈100), and scatter the refined poses/points back.
+    Returns ``m`` unchanged if the map exceeds ``max_cams`` keyframes.
+    """
+    import numpy as np
+
+    from .lie import orthonormalize_se3
+    from .local_ba import schur_ba_core
+
+    kf_valid = np.asarray(m.kf_valid)
+    pt_valid = np.asarray(m.pt_valid)
+    kf_ids = np.nonzero(kf_valid)[0]
+    pt_ids = np.nonzero(pt_valid)[0]
+    if len(kf_ids) < 2 or len(pt_ids) == 0 or len(kf_ids) > max_cams:
+        return m
+    C = _next_pow2(len(kf_ids))
+    Pa = _next_pow2(len(pt_ids), lo=256)
+
+    kf_pad = np.zeros(C, np.int32)
+    kf_pad[: len(kf_ids)] = kf_ids
+    used = np.zeros(C, bool)
+    used[: len(kf_ids)] = True
+    # Gauge: the lowest valid keyframe id (KF0 unless culled).
+    is_fixed = np.zeros(C, bool)
+    is_fixed[0] = True  # kf_ids is sorted ascending
+
+    # Compact point index: full-pool id -> [0, Pa) slot.
+    pt_slot = np.full(m.pt_capacity, -1, np.int64)
+    pt_slot[pt_ids] = np.arange(len(pt_ids))
+
+    kf_pad_j = jnp.asarray(kf_pad)
+    pid_raw = np.asarray(m.kf_point)[kf_pad]          # (C, N)
+    obs_ok = (
+        (pid_raw >= 0)
+        & np.asarray(m.kf_kp_valid)[kf_pad]
+        & used[:, None]
+    )
+    slot = np.where(obs_ok, pt_slot[np.maximum(pid_raw, 0)], -1)
+    obs_ok = obs_ok & (slot >= 0)
+    pid = np.where(obs_ok, np.maximum(slot, 0), 0).astype(np.int32)
+
+    lvl = jnp.clip(
+        jnp.asarray(np.asarray(m.kf_level)[kf_pad]),
+        0, inv_sigma2_lut.shape[0] - 1,
+    )
+    inv_s2 = inv_sigma2_lut[lvl]
+    ur = jnp.where(jnp.asarray(used)[:, None],
+                   jnp.asarray(np.asarray(m.kf_ur)[kf_pad]), -1.0)
+
+    pts0 = jnp.zeros((Pa, 3)).at[: len(pt_ids)].set(m.pt_pos[jnp.asarray(pt_ids)])
+    core = jax.jit(functools.partial(schur_ba_core, phase_iters=phase_iters))
+    poses, pts, _ = core(
+        m.kf_pose_cw[kf_pad_j], pts0,
+        m.kf_xy[kf_pad_j], ur, inv_s2,
+        jnp.asarray(pid), jnp.asarray(obs_ok),
+        jnp.asarray(is_fixed), jnp.asarray(used),
+        cam,
+    )
+
+    n_k = len(kf_ids)
+    kf_pose = m.kf_pose_cw.at[jnp.asarray(kf_ids)].set(
+        orthonormalize_se3(poses[:n_k])
+    )
+    pt_pos = m.pt_pos.at[jnp.asarray(pt_ids)].set(pts[: len(pt_ids)])
+    return m._replace(kf_pose_cw=kf_pose, pt_pos=pt_pos)

@@ -96,34 +96,28 @@ def _residuals(poses, pts, uv, ur, pid, w_valid, cam: CameraModel):
     return r, J_cam, J_pt, behind
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_local", "n_fixed", "phase_iters")
-)
-def local_bundle_adjustment(
-    m: ms.MapState,
-    kf_id: jnp.ndarray,
+def schur_ba_core(
+    poses0: jnp.ndarray,       # (C, 4, 4)
+    pts0: jnp.ndarray,         # (P, 3) point array that pid indexes
+    uv: jnp.ndarray,           # (C, N, 2)
+    ur: jnp.ndarray,           # (C, N)  (-1 = mono observation)
+    inv_s2: jnp.ndarray,       # (C, N)
+    pid: jnp.ndarray,          # (C, N) into pts0 (clipped-valid)
+    obs_ok: jnp.ndarray,       # (C, N)
+    is_fixed: jnp.ndarray,     # (C,)
+    used: jnp.ndarray,         # (C,)
     cam: CameraModel,
-    inv_sigma2_lut: jnp.ndarray,
-    n_local: int = 8,
-    n_fixed: int = 8,
     phase_iters: Tuple[int, int] = (5, 10),
-) -> ms.MapState:
-    cam_ids, is_fixed, used = _gather_problem(m, kf_id, n_local, n_fixed)
-    C = cam_ids.shape[0]
-    P = m.pt_capacity
+):
+    """The Schur-complement LM engine shared by local BA (window) and the
+    joint global BA (all active keyframes compacted): landmark blocks
+    inverted batched, dense reduced camera system, 5-robust + 10-plain
+    phase schedule with chi2 pruning between (Optimizer.cc:≈560).
 
-    poses0 = m.kf_pose_cw[cam_ids]           # (C, 4, 4)
-    uv = m.kf_xy[cam_ids]                    # (C, N, 2)
-    ur = jnp.where(used[:, None], m.kf_ur[cam_ids], -1.0)
-    lvl = m.kf_level[cam_ids]
-    pid_raw = m.kf_point[cam_ids]            # (C, N)
-    obs_ok = (
-        (pid_raw >= 0) & m.kf_kp_valid[cam_ids] & used[:, None]
-    )
-    pid = jnp.where(obs_ok, pid_raw, 0)
-    obs_ok = obs_ok & m.pt_valid[pid]
-    inv_s2 = inv_sigma2_lut[jnp.clip(lvl, 0, inv_sigma2_lut.shape[0] - 1)]
-
+    Returns (poses (C,4,4), pts (P,3), obs_mask (C,N) inlier mask).
+    """
+    C = poses0.shape[0]
+    P = pts0.shape[0]
     has_ur = ur >= 0
     chi2_th = jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)
     delta_h = jnp.sqrt(chi2_th)
@@ -205,7 +199,7 @@ def local_bundle_adjustment(
         return poses_new, pts_new
 
     poses = poses0
-    pts = m.pt_pos
+    pts = pts0
     obs_mask = obs_ok
     lam = jnp.float32(1e-4)
     for phase, (iters, robust) in enumerate(
@@ -224,6 +218,42 @@ def local_bundle_adjustment(
         # chi2 outlier pruning between phases (and after the last).
         chi2 = chi2_of(poses, pts, obs_mask)
         obs_mask = obs_mask & (chi2 <= chi2_th)
+    return poses, pts, obs_mask
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_local", "n_fixed", "phase_iters")
+)
+def local_bundle_adjustment(
+    m: ms.MapState,
+    kf_id: jnp.ndarray,
+    cam: CameraModel,
+    inv_sigma2_lut: jnp.ndarray,
+    n_local: int = 8,
+    n_fixed: int = 8,
+    phase_iters: Tuple[int, int] = (5, 10),
+) -> ms.MapState:
+    cam_ids, is_fixed, used = _gather_problem(m, kf_id, n_local, n_fixed)
+
+    poses0 = m.kf_pose_cw[cam_ids]           # (C, 4, 4)
+    uv = m.kf_xy[cam_ids]                    # (C, N, 2)
+    ur = jnp.where(used[:, None], m.kf_ur[cam_ids], -1.0)
+    lvl = m.kf_level[cam_ids]
+    pid_raw = m.kf_point[cam_ids]            # (C, N)
+    obs_ok = (
+        (pid_raw >= 0) & m.kf_kp_valid[cam_ids] & used[:, None]
+    )
+    pid = jnp.where(obs_ok, pid_raw, 0)
+    obs_ok = obs_ok & m.pt_valid[pid]
+    inv_s2 = inv_sigma2_lut[jnp.clip(lvl, 0, inv_sigma2_lut.shape[0] - 1)]
+
+    poses, pts, obs_mask = schur_ba_core(
+        poses0, m.pt_pos, uv, ur, inv_s2, pid, obs_ok, is_fixed, used, cam,
+        phase_iters,
+    )
+    pt_in = jnp.zeros((m.pt_capacity,), bool).at[pid.reshape(-1)].set(
+        obs_ok.reshape(-1), mode="drop"
+    )
 
     # Write back: poses, points, and unbind outlier observations.
     kf_point = m.kf_point

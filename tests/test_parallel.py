@@ -60,6 +60,73 @@ def mean_reproj_err(prob, poses, pts, cam):
     return float(np.mean(e[np.asarray(prob.obs_ok)]))
 
 
+def make_pose_graph(K=12, seed=0):
+    """Drift-chain fixture: K poses along a line, accumulated per-step
+    drift, one loop edge carrying the true 0↔K-1 relative pose."""
+    from orbslam2_tpu.solvers import pose_graph
+
+    gt = []
+    for i in range(K):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -0.5 * i
+        gt.append(T)
+    gt = np.stack(gt)
+    est = [gt[0]]
+    for i in range(1, K):
+        step = np.asarray(lie.se3_exp(jnp.asarray(
+            np.array([-0.5 + 0.03, 0.01, 0.0, 0.0, 0.01, 0.0], np.float32))))
+        est.append((step @ est[-1]).astype(np.float32))
+    est = np.stack(est)
+    kf_valid = jnp.ones(K, bool)
+    parent = jnp.asarray(np.arange(K) - 1, jnp.int32)
+    covis = jnp.zeros((K, K), jnp.int32)
+    S_ji = jnp.asarray((gt[K - 1] @ np.linalg.inv(gt[0]))[None])
+    edges = pose_graph.edges_from_map(
+        jnp.asarray(est), kf_valid, parent, covis,
+        loop_i=jnp.asarray([0], jnp.int32),
+        loop_j=jnp.asarray([K - 1], jnp.int32),
+        loop_S_ji=S_ji, loop_valid=jnp.asarray([True]),
+    )
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+    return gt, est, kf_valid, edges, fixed
+
+
+class TestDistributedPoseGraph:
+    def test_matches_single_device_and_corrects_drift(self):
+        from orbslam2_tpu.parallel import dist_pose_graph
+        from orbslam2_tpu.solvers import pose_graph
+
+        assert len(jax.devices()) >= 8
+        gt, est, kf_valid, edges, fixed = make_pose_graph(K=12)
+        T_ref, s_ref = pose_graph.optimize_essential_graph(
+            jnp.asarray(est), kf_valid, edges, fixed, iters=30,
+        )
+        m8 = mesh_mod.make_mesh(8)
+        run = dist_pose_graph.make_distributed_pose_graph(m8, iters=30)
+        T_dist, s_dist = run(jnp.asarray(est), kf_valid, edges, fixed)
+        # Same math, different reduction order: near-identical results.
+        np.testing.assert_allclose(np.asarray(T_dist), np.asarray(T_ref),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(s_dist), np.asarray(s_ref),
+                                   atol=2e-3)
+        K = gt.shape[0]
+        err_before = np.linalg.norm(
+            est[K - 1] @ np.linalg.inv(gt[K - 1]) - np.eye(4))
+        err_after = np.linalg.norm(
+            np.asarray(T_dist)[K - 1] @ np.linalg.inv(gt[K - 1]) - np.eye(4))
+        assert err_after < 0.35 * err_before, (err_before, err_after)
+
+    def test_fix_scale_pins_scales(self):
+        from orbslam2_tpu.parallel import dist_pose_graph
+
+        gt, est, kf_valid, edges, fixed = make_pose_graph(K=12)
+        m8 = mesh_mod.make_mesh(8)
+        run = dist_pose_graph.make_distributed_pose_graph(
+            m8, iters=20, fix_scale=True)
+        T_dist, s_dist = run(jnp.asarray(est), kf_valid, edges, fixed)
+        np.testing.assert_allclose(np.asarray(s_dist), 1.0, atol=1e-6)
+
+
 class TestDistributedBA:
     def test_step_reduces_error_on_8_devices(self):
         assert len(jax.devices()) >= 8
