@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--pipeline", action="store_true",
                     help="lag-1 pipelined tracking (never blocks on device)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="C frames per device dispatch (chunked driver)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run mapping/loop closing in a worker thread "
+                         "(the reference's LocalMapping/LoopClosing threads)")
     ap.add_argument("--out", default="/tmp/orbslam2_tpu_out")
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--viewer", action="store_true",
@@ -71,7 +76,8 @@ def main():
         seed=7,
     )
 
-    system = SlamSystem(settings, args.sensor, pipeline=args.pipeline)
+    system = SlamSystem(settings, args.sensor, pipeline=args.pipeline,
+                        chunk=args.chunk, async_mapping=args.async_mapping)
     if args.no_ba and system.local_mapper is not None:
         system.local_mapper.enable_ba = False
 
@@ -100,6 +106,7 @@ def main():
             f"t={times[-1]*1e3:7.1f} ms"
         )
 
+    system.shutdown()  # drain in-flight frames + async mapping jobs
     if args.profile:
         import jax
 

@@ -1,0 +1,155 @@
+"""Asynchronous local mapping + loop closing — the reference's thread
+pipeline, TPU-native.
+
+The reference spawns ``LocalMapping::Run`` and ``LoopClosing::Run`` as
+long-lived threads (src/System.cc:≈90-100) consuming keyframe queues, so
+tracking NEVER waits on local BA (~100-300 ms/KF) or loop correction
+(~0.3-1.5 s); the shared map is protected by per-object mutexes.
+
+Here the map is a functional struct-of-arrays snapshot, so the same overlap
+needs no locks at all:
+
+  * keyframe fires -> the tracker keeps ITS map (which already contains the
+    new keyframe) and submits a SNAPSHOT to a worker; the worker runs the
+    mapping sequence (cull / triangulate / fuse / local BA / KF-cull) and
+    then loop closing on that snapshot — its device programs interleave
+    with tracking's dispatches (or run on a separate device when one is
+    given), and the HOST tracking loop never blocks;
+  * while a job is in flight ``accept_keyframes()`` is False — exactly the
+    reference's ``SetAcceptKeyFrames(false)`` (LocalMapping.cc:≈30): the
+    tracker defers further keyframes unless urgent (InterruptBA class, in
+    which case it block-adopts);
+  * at the next frame boundary the tracker ADOPTS the mapped state,
+    merging the visibility statistics tracking accumulated meanwhile
+    (``merge_tracking_stats``) — the functional-state equivalent of the
+    reference's tracking thread reading the map while LocalMapping mutates
+    it under ``Map::mMutexMapUpdate``.
+
+At most one job is in flight: the reference's LocalMapping also processes
+its queue strictly serially; queued keyframes there are keyframes we defer
+at the decision site instead (same cadence class, no divergent-map merge
+problem).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import map_state as ms
+
+
+@jax.jit
+def merge_tracking_stats(
+    m_mapped: ms.MapState,
+    snapshot: ms.MapState,
+    m_tracked: ms.MapState,
+) -> ms.MapState:
+    """Fold the visibility/found statistics tracking accumulated since
+    ``snapshot`` into the mapped state.  Deltas only apply to points that
+    survived mapping with their identity intact (same creation keyframe —
+    culled-and-reused slots must not inherit foreign counters)."""
+    same = (
+        m_mapped.pt_valid
+        & snapshot.pt_valid
+        & (m_mapped.pt_first_kf == snapshot.pt_first_kf)
+    )
+    dv = m_tracked.pt_visible - snapshot.pt_visible
+    df = m_tracked.pt_found - snapshot.pt_found
+    return m_mapped._replace(
+        pt_visible=m_mapped.pt_visible + jnp.where(same, dv, 0),
+        pt_found=m_mapped.pt_found + jnp.where(same, df, 0),
+    )
+
+
+class AsyncMappingPipeline:
+    """Worker-thread driver for the per-keyframe mapping + loop sequence.
+
+    JAX dispatch is thread-safe; the worker's jitted programs enqueue on
+    the same device stream as tracking's (interleaved execution — the
+    single-chip analog of the reference sharing one CPU's cores across its
+    threads), or on ``device`` when a spare chip/host device is provided
+    (true pipeline parallelism across the mesh).
+    """
+
+    def __init__(self, local_mapper, loop_closer=None, device=None):
+        self.local_mapper = local_mapper
+        self.loop_closer = loop_closer
+        self.device = device
+        self._thread: Optional[threading.Thread] = None
+        self._result = None        # (m_mapped, snapshot, kf_id)
+        self._error = None
+        self._lock = threading.Lock()
+        self.abort_gba = threading.Event()  # InterruptBA / mbStopGBA analog
+        self.jobs_run = 0
+
+    # -- protocol (SetAcceptKeyFrames / queue) ------------------------------
+
+    def accept_keyframes(self) -> bool:
+        """False while a mapping job is in flight (LocalMapping's
+        SetAcceptKeyFrames(false) during its work loop)."""
+        return self._thread is None
+
+    def submit(self, m: ms.MapState, kf_id: int):
+        """Start the mapping+loop job for ``kf_id`` on a snapshot of ``m``.
+        Caller must hold no other job in flight (check accept_keyframes)."""
+        assert self._thread is None, "one mapping job at a time"
+        # Deep-copy the snapshot: the tracker's fused step DONATES its map
+        # buffers each frame, which would delete them out from under the
+        # worker (the snapshot must own its storage).
+        snapshot = jax.tree.map(lambda x: x.copy(), m)
+        if self.device is not None:
+            snapshot = jax.device_put(snapshot, self.device)
+        self.abort_gba.clear()
+        self._error = None
+
+        def job():
+            try:
+                mm = self.local_mapper.process_keyframe(snapshot, int(kf_id))
+                if self.loop_closer is not None:
+                    mm = self.loop_closer.process_keyframe(
+                        mm, int(kf_id), abort=self.abort_gba
+                    )
+                # Materialize before publishing so adoption never blocks on
+                # still-running device work longer than necessary.
+                jax.block_until_ready(mm.kf_pose_cw)
+                with self._lock:
+                    self._result = (mm, snapshot, int(kf_id))
+            except BaseException as e:  # propagate into the main thread
+                with self._lock:
+                    self._error = e
+
+        self._thread = threading.Thread(target=job, daemon=True)
+        self._thread.start()
+        self.jobs_run += 1
+
+    def _finish(self):
+        """Join the (dead) worker and hand back its result, re-raising any
+        worker exception in the caller's thread."""
+        self._thread.join()
+        self._thread = None
+        with self._lock:
+            err, self._error = self._error, None
+            res, self._result = self._result, None
+        if err is not None:
+            raise err
+        return res
+
+    def poll(self) -> Optional[Tuple[ms.MapState, ms.MapState, int]]:
+        """Non-blocking: the finished job's (mapped, snapshot, kf_id), or
+        None while still running / nothing in flight."""
+        if self._thread is None or self._thread.is_alive():
+            return None
+        return self._finish()
+
+    def wait(self) -> Optional[Tuple[ms.MapState, ms.MapState, int]]:
+        """Block until the in-flight job (if any) finishes; return it.
+        Signals the GBA abort flag first (InterruptBA: tracking needs the
+        map NOW, the background polish yields between LM segments)."""
+        if self._thread is None:
+            return None
+        self.abort_gba.set()
+        return self._finish()

@@ -236,12 +236,17 @@ def fuse_with_neighbor(
     kf_b: jnp.ndarray,
     cam: CameraModel,
     scale_factors: jnp.ndarray,
+    inv_sigma2_lut: jnp.ndarray,
 ) -> ms.MapState:
-    """One direction of SearchInNeighbors (LocalMapping.cc:≈370): project
-    kf_a's bound map points into kf_b; where they land on a keypoint that
-    is bound to a DIFFERENT point, rebind it to kf_a's point (Replace — the
-    duplicate decays through observation-count culling); where the keypoint
-    is unbound, bind it (new observation)."""
+    """One direction of SearchInNeighbors (LocalMapping.cc:≈370) with the
+    reference's FULL Fuse semantics (ORBmatcher::Fuse, src/ORBmatcher.cc:
+    ≈950): project kf_a's bound map points into kf_b; a match landing on an
+    unbound keypoint adds an observation; a match landing on a keypoint
+    bound to a DIFFERENT point triggers MapPoint::Replace, keeping the
+    point with MORE observations (MapPoint.cc:≈180).  Matches are gated by
+    a per-observation reprojection chi2 <= 5.991 at the matched keypoint's
+    octave — the windowed TH_LOW bind alone admits enough wrong cross-KF
+    observations on repetitive texture to drag BA."""
     from ..ops.hamming import TH_LOW, match_descriptors
 
     pts_a = m.kf_point[kf_a]
@@ -258,10 +263,19 @@ def fuse_with_neighbor(
     )
     O_w = -T[:3, :3].T @ T[:3, 3]
     dist = jnp.linalg.norm(m.pt_pos[pid] - O_w, axis=-1)
+    # Viewing-angle gate (reference Fuse: ray vs point normal < 60 deg);
+    # points whose normal is not yet computed (zero) pass the gate.
+    nrm = jnp.linalg.norm(m.pt_normal[pid], axis=-1)
+    view_cos = jnp.where(
+        nrm < 1e-6, 1.0,
+        jnp.sum((m.pt_pos[pid] - O_w) * m.pt_normal[pid], axis=-1)
+        / jnp.maximum(dist, 1e-9),
+    )
     vis = (
         src_ok & (z > 0.1) & in_image(cam, uv)
         & (dist >= 0.8 * m.pt_min_dist[pid])
         & (dist <= 1.2 * m.pt_max_dist[pid])
+        & (view_cos > 0.5)
     )
     pred_level = ms.predict_scale(dist, m.pt_max_dist[pid], scale_factors)
     d2 = jnp.sum((uv[:, None, :] - m.kf_xy[kf_b][None, :, :]) ** 2, axis=-1)
@@ -271,16 +285,30 @@ def fuse_with_neighbor(
         m.pt_desc[pid], vis, m.kf_desc[kf_b], m.kf_kp_valid[kf_b],
         pair_mask=(d2 <= rr[:, None]) & lvl_ok, max_dist=TH_LOW, ratio=1.0,
     )
+    # Per-observation chi2 gate at the matched keypoint's octave.
+    idx = jnp.where(mres.ok, mres.idx, 0)
+    err2 = jnp.sum((uv - m.kf_xy[kf_b][idx]) ** 2, axis=-1)
+    lvl_b = jnp.clip(m.kf_level[kf_b][idx], 0, inv_sigma2_lut.shape[0] - 1)
+    ok = mres.ok & (err2 * inv_sigma2_lut[lvl_b] <= 5.991)
+
     row = m.kf_point[kf_b]
-    tgt = jnp.where(mres.ok, mres.idx, 0)
+    tgt = jnp.where(ok, mres.idx, 0)
     incoming = jnp.full_like(row, NO_POINT).at[tgt].set(
-        jnp.where(mres.ok, pid, NO_POINT), mode="drop"
+        jnp.where(ok, pid, NO_POINT), mode="drop"
     )
-    # Only BIND unbound keypoints (add observations).  Replacing existing
-    # bindings (the reference's full Replace) is reserved for the loop-
-    # closing fuse: on repetitive texture a windowed TH_LOW match can
-    # rebind a correct association to a nearby wrong point and poison BA.
-    row_new = jnp.where((row < 0) & (incoming >= 0), incoming, row)
+    # Duplicates: keep the better-observed point (MapPoint::Replace choice
+    # in ORBmatcher::Fuse).
+    dup = (row >= 0) & (incoming >= 0) & (row != incoming)
+    n_obs = ms.point_observation_counts(m)
+    a_survives = n_obs[jnp.clip(incoming, 0, m.pt_capacity - 1)] >= n_obs[
+        jnp.clip(row, 0, m.pt_capacity - 1)
+    ]
+    old = jnp.where(a_survives, row, incoming)
+    new = jnp.where(a_survives, incoming, row)
+    m = ms.apply_point_replacements(m, jnp.where(dup, old, -1), new, dup)
+    # Bind still-unbound slots (new observations) after the rebind pass.
+    row2 = m.kf_point[kf_b]
+    row_new = jnp.where((row2 < 0) & (incoming >= 0), incoming, row2)
     return m._replace(kf_point=m.kf_point.at[kf_b].set(row_new))
 
 
@@ -288,14 +316,15 @@ class LocalMapper:
     """Host-side driver for the per-keyframe mapping sequence."""
 
     def __init__(self, settings: Settings, enable_ba: bool = True,
-                 enable_kf_culling: bool = True, enable_fuse: bool = False,
-                 sensor: str = "mono"):
-        # enable_fuse: SearchInNeighbors duplicate fusion.  Off by default
-        # in round 1: on repetitive texture the windowed TH_LOW bind adds
-        # enough wrong cross-KF observations to drag BA (needs the
-        # reference's stricter per-observation chi2 gate + best-observed
-        # Replace policy).  The loop-closing fuse (cross-seam) stays on.
+                 enable_kf_culling: bool = True, enable_fuse: bool = True,
+                 sensor: str = "mono", n_fuse_neighbors: int = 2):
+        # enable_fuse: SearchInNeighbors duplicate fusion (LocalMapping.cc:
+        # ≈370), ON by default with the reference's full Fuse semantics:
+        # per-observation chi2 gate + best-observed MapPoint::Replace
+        # (round 1's bind-only fuse was off by default because the plain
+        # windowed TH_LOW bind poisoned BA on repetitive texture).
         self.settings = settings
+        self.n_fuse_neighbors = n_fuse_neighbors
         self.cam = settings.camera_model()
         orb = settings.orb
         self.scale_factors = jnp.asarray(
@@ -332,11 +361,16 @@ class LocalMapper:
         if self.enable_fuse:
             # SearchInNeighbors: fuse duplicates with the best covisible
             # neighbors, both directions (LocalMapping.cc:≈370).
-            neighbor_ids, weights = ms.best_covisible(m, kf, 2)
-            for i in range(2):
+            nn = self.n_fuse_neighbors
+            neighbor_ids, weights = ms.best_covisible(m, kf, nn)
+            for i in range(nn):
                 nb = neighbor_ids[i]
-                m = fuse_with_neighbor(m, kf, nb, self.cam, self.scale_factors)
-                m = fuse_with_neighbor(m, nb, kf, self.cam, self.scale_factors)
+                m = fuse_with_neighbor(
+                    m, kf, nb, self.cam, self.scale_factors, self.inv_sigma2
+                )
+                m = fuse_with_neighbor(
+                    m, nb, kf, self.cam, self.scale_factors, self.inv_sigma2
+                )
         m = ms.update_point_stats(m, self.scale_factors)
         if self.enable_ba:
             m = local_bundle_adjustment(m, kf, self.cam, self.inv_sigma2)

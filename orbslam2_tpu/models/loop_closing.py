@@ -59,10 +59,11 @@ class LoopCloser:
         gba_mode: str = "joint",
     ):
         # enable_gba: run the global-refinement stage after the essential
-        # graph (the reference's background GBA).  Default off: with only
-        # partial cross-seam fusion, BA's optimum is still dominated by
-        # drift-consistent observations and can undo part of the graph
-        # correction; the pose graph + fuse is the net-positive core.
+        # graph (the reference's background GBA, LoopClosing.cc:≈530).  On
+        # by default now that SearchAndFuse applies the full MapPoint::
+        # Replace (cross-seam constraints dense enough that BA's optimum is
+        # the corrected geometry).  Runs in abortable segments — the
+        # mbStopGBA / InterruptBA analog — when the tracker needs the map.
         # gba_mode: "joint" = one Schur LM problem over the whole active
         # map (the reference's g2o BundleAdjustment shape, feasible to a
         # few hundred KFs); "alternation" = resection/intersection
@@ -115,8 +116,12 @@ class LoopCloser:
         # groups after a correction).
         self.candidate_streak = {}
 
-    def process_keyframe(self, m: ms.MapState, kf_id: int) -> ms.MapState:
-        """Returns the (possibly loop-corrected) map."""
+    def process_keyframe(
+        self, m: ms.MapState, kf_id: int, abort=None
+    ) -> ms.MapState:
+        """Returns the (possibly loop-corrected) map.  ``abort`` is an
+        optional threading.Event checked between GBA segments (mbStopGBA)."""
+        self._abort = abort
         if kf_id - self.last_loop_kf < 10 or int(m.n_kf) < 8:
             # Reference skips detection within 10 KFs of the last loop.
             return m
@@ -360,9 +365,48 @@ class LoopCloser:
 
         # Global refinement (the reference's background GBA).
         if self.enable_gba:
-            m = global_bundle_adjustment(m, self.cam, self.inv_sigma2, rounds=6)
+            m = self._run_gba(m)
         m = ms.update_point_stats(m, jnp.asarray(pyr_ops.scale_factors(
             self.settings.orb.n_levels, self.settings.orb.scale_factor)))
+        return m
+
+    def _run_gba(self, m: ms.MapState) -> ms.MapState:
+        """Dispatch the configured GBA mode: "joint" = one Schur LM problem
+        over the whole active map (the reference's g2o BundleAdjustment
+        shape), falling back to the O(K+P)-memory alternation solver when
+        the map exceeds the joint solver's camera cap.
+
+        Runs in SEGMENTS with an abort check between them — the analog of
+        the reference's mbStopGBA flag polled between g2o iterations
+        (LoopClosing::RunGlobalBundleAdjustment, ≈530): when tracking needs
+        the map urgently the polish yields early, keeping whatever
+        improvement the finished segments bought."""
+        abort = getattr(self, "_abort", None)
+
+        def aborted():
+            return abort is not None and abort.is_set()
+
+        if self.gba_mode == "joint":
+            from ..solvers.global_ba import run_joint_global_ba
+
+            ran = False
+            # (5 robust, then 2x5 plain) = the reference's schedule, cut in
+            # abortable segments; chi2 pruning happens at each phase end.
+            for seg in ((5, 0), (0, 5), (0, 5)):
+                if aborted():
+                    return m
+                m2 = run_joint_global_ba(
+                    m, self.cam, self.inv_sigma2, phase_iters=seg
+                )
+                if m2 is m:  # map exceeds max_cams: joint not applicable
+                    break
+                m, ran = m2, True
+            if ran:
+                return m
+        for _ in range(3):
+            if aborted():
+                return m
+            m = global_bundle_adjustment(m, self.cam, self.inv_sigma2, rounds=2)
         return m
 
 
@@ -414,44 +458,26 @@ def _fuse_into_keyframe(
     )
     # Rebind matched slots to the loop-side point.  Where the slot was
     # bound to a DIFFERENT current-side point, apply the reference's full
-    # MapPoint::Replace (MapPoint.cc:≈180): rebind EVERY observation of
-    # the duplicate (across all keyframes) to the loop-side point, merge
-    # its tracking statistics, and invalidate it.  Partial (one-KF)
-    # rebinding leaves drifted duplicates alive in the rest of the
-    # covisible group, and global BA's optimum is then the pre-loop
-    # geometry — the fix that makes post-loop GBA net-positive.
+    # MapPoint::Replace (MapPoint.cc:≈180) — the loop-side point always
+    # survives (CorrectLoop's SearchAndFuse semantics): rebind EVERY
+    # observation of the duplicate (across all keyframes), merge tracking
+    # statistics, invalidate it.  Partial (one-KF) rebinding leaves drifted
+    # duplicates alive in the rest of the covisible group, and global BA's
+    # optimum is then the pre-loop geometry — the fix that makes post-loop
+    # GBA net-positive.
     row = m.kf_point[kf_id]
     tgt = jnp.where(mres.ok, mres.idx, 0)
     incoming = jnp.full_like(row, ms.NO_POINT).at[tgt].set(
         jnp.where(mres.ok, cand_pids, ms.NO_POINT), mode="drop"
     )
-    P = m.pt_capacity
-    do_repl = (incoming >= 0) & (row >= 0) & (row != incoming)
-    old_idx = jnp.where(do_repl, row, P)  # P = out of bounds -> dropped
-    repl = (
-        jnp.arange(P, dtype=row.dtype)
-        .at[old_idx].set(jnp.where(do_repl, incoming, 0), mode="drop")
+    dup = (incoming >= 0) & (row >= 0) & (row != incoming)
+    m = ms.apply_point_replacements(
+        m, jnp.where(dup, row, -1), incoming, dup
     )
-    kf_point = jnp.where(
-        m.kf_point >= 0, repl[jnp.clip(m.kf_point, 0, P - 1)], m.kf_point
-    )
-    # Merge found/visible counters into the survivor (Replace merges them).
-    new_idx = jnp.where(do_repl, incoming, P)
-    old_safe = jnp.clip(row, 0, P - 1)
-    pt_visible = m.pt_visible.at[new_idx].add(
-        jnp.where(do_repl, m.pt_visible[old_safe], 0), mode="drop"
-    )
-    pt_found = m.pt_found.at[new_idx].add(
-        jnp.where(do_repl, m.pt_found[old_safe], 0), mode="drop"
-    )
-    pt_valid = m.pt_valid.at[old_idx].set(False, mode="drop")
     # Bind still-unbound slots of this keyframe (new observations).
-    row2 = kf_point[kf_id]
+    row2 = m.kf_point[kf_id]
     row_new = jnp.where((row2 < 0) & (incoming >= 0), incoming, row2)
-    return m._replace(
-        kf_point=kf_point.at[kf_id].set(row_new),
-        pt_valid=pt_valid, pt_visible=pt_visible, pt_found=pt_found,
-    )
+    return m._replace(kf_point=m.kf_point.at[kf_id].set(row_new))
 
 
 # ---------------------------------------------------------------------------

@@ -224,6 +224,82 @@ def update_point_stats(m: MapState, scale_factors: jnp.ndarray = None) -> MapSta
     )
 
 
+@jax.jit
+def dedup_binding_rows(kf_point: jnp.ndarray) -> jnp.ndarray:
+    """Unbind duplicate point bindings within each keyframe row (keep the
+    lowest slot) — the reference's EraseMapPointMatch branch of
+    MapPoint::Replace (MapPoint.cc:≈180).  Sort-based, vmapped per row."""
+
+    def one_row(row):
+        order = jnp.argsort(row)
+        sv = row[order]
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((1,), bool), (sv[1:] == sv[:-1]) & (sv[1:] >= 0)]
+        )
+        dup = jnp.zeros_like(dup_sorted).at[order].set(dup_sorted)
+        return jnp.where(dup, NO_POINT, row)
+
+    return jax.vmap(one_row)(kf_point)
+
+
+@jax.jit
+def apply_point_replacements(
+    m: MapState,
+    old_pt: jnp.ndarray,   # (M,) point ids to retire
+    new_pt: jnp.ndarray,   # (M,) surviving point ids
+    do: jnp.ndarray,       # (M,) bool
+) -> MapState:
+    """Batched ``MapPoint::Replace`` (src/MapPoint.cc:≈180): rebind EVERY
+    observation of each retired point (across all keyframes) to its
+    survivor, merge found/visible statistics, invalidate the retired point,
+    and unbind per-keyframe duplicate bindings of the survivor.
+
+    Compose-safe: a survivor that is itself being retired at another slot
+    drops that replacement (no chains into invalidated points); duplicate
+    retirements of the same old point merge statistics exactly once.
+    """
+    P = m.pt_capacity
+    M = old_pt.shape[0]
+    do = do & (old_pt >= 0) & (new_pt >= 0) & (old_pt != new_pt)
+    old_safe = jnp.clip(old_pt, 0, P - 1)
+    new_safe = jnp.clip(new_pt, 0, P - 1)
+    # Drop replacements whose TARGET is itself retired elsewhere.
+    being_replaced = jnp.zeros((P,), bool).at[
+        jnp.where(do, old_pt, P)
+    ].set(True, mode="drop")
+    do = do & ~being_replaced[new_safe]
+    # First occurrence per old point (for deterministic winner + exactly-
+    # once stat merge).
+    slot_ids = jnp.arange(M, dtype=jnp.int32)
+    first_slot = jnp.full((P,), M, jnp.int32).at[
+        jnp.where(do, old_pt, P)
+    ].min(slot_ids, mode="drop")
+    is_first = do & (first_slot[old_safe] == slot_ids)
+
+    old_idx = jnp.where(is_first, old_pt, P)
+    repl = (
+        jnp.arange(P, dtype=m.kf_point.dtype)
+        .at[old_idx].set(jnp.where(is_first, new_pt, 0), mode="drop")
+    )
+    kf_point = jnp.where(
+        m.kf_point >= 0, repl[jnp.clip(m.kf_point, 0, P - 1)], m.kf_point
+    )
+    kf_point = dedup_binding_rows(kf_point)
+
+    new_idx = jnp.where(is_first, new_pt, P)
+    pt_visible = m.pt_visible.at[new_idx].add(
+        jnp.where(is_first, m.pt_visible[old_safe], 0), mode="drop"
+    )
+    pt_found = m.pt_found.at[new_idx].add(
+        jnp.where(is_first, m.pt_found[old_safe], 0), mode="drop"
+    )
+    pt_valid = m.pt_valid.at[old_idx].set(False, mode="drop")
+    return m._replace(
+        kf_point=kf_point, pt_valid=pt_valid,
+        pt_visible=pt_visible, pt_found=pt_found,
+    )
+
+
 def compact_map(m: MapState):
     """Host-side keyframe-pool compaction (SURVEY.md §2.1 Map note:
     'compaction is a host-side op').

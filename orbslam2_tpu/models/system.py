@@ -55,7 +55,17 @@ class SlamSystem:
         enable_loop_closing: bool = True,
         pipeline: bool = False,
         chunk: int = 0,
+        async_mapping: bool = False,
+        mapping_device=None,
     ):
+        """``async_mapping``: run local mapping + loop closing in a worker
+        thread on map snapshots (the reference's LocalMapping/LoopClosing
+        threads, src/System.cc:≈90-100) so tracking never blocks on them;
+        ``mapping_device`` optionally pins those programs to a different
+        device (pipeline parallelism across chips).  Off by default because
+        adoption timing is wall-clock dependent — the reference is equally
+        nondeterministic (SURVEY.md §4); tests that assert bitwise
+        determinism use the synchronous mode."""
         from .kf_database import KeyframeDatabase
         from .loop_closing import LoopCloser
 
@@ -79,13 +89,26 @@ class SlamSystem:
         )
         self.pipeline = pipeline
         self.chunk = chunk
+        self.async_mapping = async_mapping
+        self.mapping_device = mapping_device
+        self.mapping_pipeline = self._make_mapping_pipeline()
         self.tracker = Tracker(
             settings, local_mapper=self.local_mapper,
             database=self.database, loop_closer=self.loop_closer,
             pipeline=pipeline, chunk=chunk,
+            mapping_pipeline=self.mapping_pipeline,
         )
         self.localization_only = False
         self.timestamps = []
+
+    def _make_mapping_pipeline(self):
+        if not self.async_mapping or self.local_mapper is None:
+            return None
+        from .async_pipeline import AsyncMappingPipeline
+
+        return AsyncMappingPipeline(
+            self.local_mapper, self.loop_closer, device=self.mapping_device
+        )
 
     # -- per-frame API (System::TrackMonocular/Stereo/RGBD) ---------------
 
@@ -105,19 +128,33 @@ class SlamSystem:
 
     def activate_localization_mode(self):
         """Tracking-only: pause mapping and keyframe insertion (the
-        reference stops LocalMapping and sets mbOnlyTracking)."""
+        reference stops LocalMapping and sets mbOnlyTracking).  Motion-model
+        tracking then leans on temp VO points (Tracking::UpdateLastFrame)
+        through unmapped regions."""
         self.localization_only = True
         self.tracker.local_mapper = None
         self.tracker.localization_only = True
+        self._set_ctx_only_tracking(True)
 
     def deactivate_localization_mode(self):
         self.localization_only = False
         self.tracker.local_mapper = self.local_mapper
         self.tracker.localization_only = False
+        self._set_ctx_only_tracking(False)
+
+    def _set_ctx_only_tracking(self, value: bool):
+        import jax.numpy as jnp
+
+        if self.tracker._next_ctx is not None:
+            self.tracker._next_ctx = self.tracker._next_ctx._replace(
+                only_tracking=jnp.asarray(value)
+            )
 
     def reset(self):
         from .kf_database import KeyframeDatabase
 
+        if self.mapping_pipeline is not None:
+            self.mapping_pipeline.wait()  # drain the in-flight job
         self.database = KeyframeDatabase(
             self.vocabulary, self.settings.tpu.max_keyframes
         )
@@ -125,10 +162,12 @@ class SlamSystem:
             self.loop_closer.db = self.database
             self.loop_closer.loop_edges = []
             self.loop_closer.candidate_streak = {}
+        self.mapping_pipeline = self._make_mapping_pipeline()
         self.tracker = Tracker(
             self.settings, local_mapper=self.local_mapper,
             database=self.database, loop_closer=self.loop_closer,
             pipeline=self.pipeline, chunk=self.chunk,
+            mapping_pipeline=self.mapping_pipeline,
         )
         self.timestamps = []
 

@@ -64,6 +64,13 @@ class TrackCtx(NamedTuple):
     ref_kf: jnp.ndarray         # int32 reference keyframe id
     weak: jnp.ndarray           # bool: last frame tracked < 50 points
     frames_since_kf: jnp.ndarray  # int32
+    # Temp-VO-point sources (Tracking::UpdateLastFrame, Tracking.cc:≈810):
+    # the last frame's depth/descriptors/validity so unbound close-depth
+    # keypoints can serve as temporary motion-model anchors.
+    last_depth: jnp.ndarray     # (N,) last frame depth (<0 = none)
+    last_desc: jnp.ndarray      # (N, 8) uint32
+    last_valid: jnp.ndarray     # (N,)
+    only_tracking: jnp.ndarray  # bool: localization-only (mbOnlyTracking)
 
 
 class TrackOut(NamedTuple):
@@ -93,29 +100,47 @@ def _fused_track(
     empty_bind = jnp.full((N,), NO_POINT, jnp.int32)
 
     # --- 1. motion-model tracking with doubled-window retry ---------------
+    use_temp = sensor != "mono"
+
     def run_motion(radius):
         T_pred = ctx.velocity @ ctx.T_last
-        T, b, n_in, n_match = track_motion_model(
+        T, b, n_in, n_match, n_tot = track_motion_model(
             m, frame, T_pred, ctx.last_xy, ctx.last_bindings,
             ctx.last_level, cam, scale_factors, inv_sigma2,
             jnp.float32(radius),
+            last_depth=ctx.last_depth if use_temp else None,
+            last_desc=ctx.last_desc if use_temp else None,
+            last_valid=ctx.last_valid if use_temp else None,
+            T_last=ctx.T_last if use_temp else None,
+            temp_depth_cap=th_depth,
+            use_temp=ctx.only_tracking if use_temp else None,
         )
-        return T, b, n_in.astype(jnp.int32), n_match.astype(jnp.int32)
+        return (
+            T, b, n_in.astype(jnp.int32), n_match.astype(jnp.int32),
+            n_tot.astype(jnp.int32),
+        )
 
     def motion_path():
-        T1, b1, n1, nm1 = run_motion(th)
+        T1, b1, n1, nm1, nt1 = run_motion(th)
         return jax.lax.cond(
             nm1 < 20,
             lambda: run_motion(2.0 * th),
-            lambda: (T1, b1, n1, nm1),
+            lambda: (T1, b1, n1, nm1, nt1),
         )
 
-    T_m, b_m, n_m, _ = jax.lax.cond(
+    T_m, b_m, n_m, _, n_tot = jax.lax.cond(
         ctx.has_velocity,
         motion_path,
-        lambda: (ctx.T_last, empty_bind, jnp.int32(0), jnp.int32(0)),
+        lambda: (ctx.T_last, empty_bind, jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0)),
     )
     ok_motion = ctx.has_velocity & (n_m >= 10)
+    # Localization-only VO eligibility (mbVO, Tracking.cc:≈900): enough
+    # TOTAL motion-model inliers (map + temp VO points) to dead-reckon.  If
+    # the normal map-anchored chain below fails, the frame falls back to
+    # the motion-model pose instead of LOST — the reference's visual-
+    # odometry mode through unmapped regions.
+    vo_eligible = ctx.only_tracking & ctx.has_velocity & (n_tot >= 20)
 
     # --- 2. reference-keyframe fallback ------------------------------------
     def refkf_path():
@@ -160,6 +185,13 @@ def _fused_track(
         use_rescue, rescue, lambda: (T1, b1, n1, ptv1, ptf1)
     )
     ok = nf >= 30
+    # VO-mode override: the map-anchored chain failed but the motion model
+    # has enough (map + temp) inliers — accept its dead-reckoned pose.
+    vo_mode = vo_eligible & ~ok
+    Tf = jnp.where(vo_mode, T_m, Tf)
+    bf = jnp.where(vo_mode, b_m, bf)
+    nf = jnp.where(vo_mode, n_tot, nf)
+    ok = ok | vo_mode
     m = m._replace(pt_visible=ptv, pt_found=ptf)
 
     # --- 5. bookkeeping: velocity, trajectory log, keyframe policy ---------
@@ -186,8 +218,11 @@ def _fused_track(
     need = need & (m.n_kf < m.kf_capacity - 1)
 
     path = jnp.where(
-        ok & ok_motion & ~use_rescue, jnp.int32(1),
-        jnp.where(ok, jnp.int32(2), jnp.int32(0)),
+        vo_mode, jnp.int32(3),
+        jnp.where(
+            ok & ok_motion & ~use_rescue, jnp.int32(1),
+            jnp.where(ok, jnp.int32(2), jnp.int32(0)),
+        ),
     )
     flags = jnp.stack(
         [ok.astype(jnp.int32), nf, need.astype(jnp.int32), path]
@@ -208,6 +243,10 @@ def _fused_track(
         ref_kf=ctx.ref_kf,
         weak=nf < 50,
         frames_since_kf=ctx.frames_since_kf + 1,
+        last_depth=frame.depth,
+        last_desc=frame.desc,
+        last_valid=frame.valid,
+        only_tracking=ctx.only_tracking,
     )
     return TrackOut(
         m=m, frame=frame, T_cw=T_out, bindings=bf,

@@ -75,13 +75,54 @@ def track_motion_model(
     scale_factors: jnp.ndarray,
     inv_sigma2_lut: jnp.ndarray,
     radius: jnp.ndarray,
+    last_depth: Optional[jnp.ndarray] = None,
+    last_desc: Optional[jnp.ndarray] = None,
+    last_valid: Optional[jnp.ndarray] = None,
+    T_last: Optional[jnp.ndarray] = None,
+    temp_depth_cap: float = 1e9,
+    use_temp: Optional[jnp.ndarray] = None,
 ):
     """Project last frame's map points with the predicted pose, match in a
-    window, optimize pose.  Returns (T, bindings, n_inliers)."""
+    window, optimize pose.
+
+    Temporary visual-odometry points (Tracking::UpdateLastFrame,
+    src/Tracking.cc:≈810): unbound last-frame keypoints with close stereo/
+    RGB-D depth are unprojected at the LAST pose and used as extra motion-
+    model observations — the reference materializes them as temp MapPoints
+    and deletes them after; here they are a pure function of the last frame
+    so they never touch the map (auto-"culled").  They anchor tracking
+    through unmapped regions (localization-only mode / keyframe starvation).
+
+    Returns (T, bindings, n_inliers_map, n_matches, n_inliers_total).
+    """
     bound = last_bindings >= 0
     pid = jnp.where(bound, last_bindings, 0)
-    valid_src = bound & m.pt_valid[pid]
-    p_w = m.pt_pos[pid]
+    is_map = bound & m.pt_valid[pid]
+
+    # Temp VO sources: unbound, close-depth last-frame keypoints.  The
+    # reference creates them ONLY in localization-only mode
+    # (UpdateLastFrame's early return on !mbOnlyTracking): during SLAM the
+    # keyframes themselves spawn close points, and temp observations would
+    # only add noise to the motion-model pose.
+    if last_depth is not None:
+        gate = use_temp if use_temp is not None else jnp.asarray(True)
+        has_temp = (
+            gate & (~is_map) & last_valid & (last_depth > 0)
+            & (last_depth < temp_depth_cap)
+        )
+        x = (last_xy[:, 0] - cam.cx) / cam.fx * last_depth
+        y = (last_xy[:, 1] - cam.cy) / cam.fy * last_depth
+        p_c_last = jnp.stack([x, y, last_depth], -1)
+        p_w_temp = se3_apply(se3_inverse(T_last), p_c_last)
+        p_w = jnp.where(is_map[:, None], m.pt_pos[pid], p_w_temp)
+        desc_src = jnp.where(is_map[:, None], m.pt_desc[pid], last_desc)
+        valid_src = is_map | has_temp
+    else:
+        has_temp = jnp.zeros_like(is_map)
+        p_w = m.pt_pos[pid]
+        desc_src = m.pt_desc[pid]
+        valid_src = is_map
+
     p_c = se3_apply(T_pred, p_w)
     z_ok = p_c[:, 2] > 0.1
     uv = jnp.stack(
@@ -91,23 +132,58 @@ def track_motion_model(
     valid_src = valid_src & z_ok & in_image(cam, uv)
 
     mres = matcher.search_by_projection(
-        uv, last_level, m.pt_desc[pid], valid_src, frame.features,
+        uv, last_level, desc_src, valid_src, frame.features,
         scale_factors, radius=radius, max_dist=TH_HIGH, ratio=0.9,
     )
-    # bindings: frame slot -> point id (scatter match results).
-    bindings = jnp.full(frame.xy.shape[0], NO_POINT, jnp.int32)
-    tgt = jnp.where(mres.ok, mres.idx, 0)
-    bindings = bindings.at[tgt].set(
-        jnp.where(mres.ok, pid, NO_POINT), mode="drop"
+    # bindings: frame slot -> point id (scatter MAP match results; temp
+    # sources never enter bindings — they must not reach the map).
+    N = frame.xy.shape[0]
+    ok_map = mres.ok & is_map
+    bindings = jnp.full(N, NO_POINT, jnp.int32)
+    tgt_map = jnp.where(ok_map, mres.idx, 0)
+    bindings = bindings.at[tgt_map].set(
+        jnp.where(ok_map, pid, NO_POINT), mode="drop"
     )
     # ^ colliding sources: last writer wins (reference keeps best-dist; the
     # pose optimizer's outlier gate cleans up the rest).
 
-    obs = _pose_obs_from_bindings(m, frame, bindings, inv_sigma2_lut)
-    n_matches = jnp.sum(obs.valid)
-    res = pose_optimization(T_pred, obs, cam)
+    # Temp matches per frame slot (map bindings win collisions).
+    ok_temp = mres.ok & has_temp
+    tgt_temp = jnp.where(ok_temp, mres.idx, 0)
+    temp_src = jnp.full(N, -1, jnp.int32).at[tgt_temp].set(
+        jnp.where(ok_temp, jnp.arange(last_xy.shape[0], dtype=jnp.int32), -1),
+        mode="drop",
+    )
+    temp_src = jnp.where(bindings >= 0, -1, temp_src)
+    t_ok = (temp_src >= 0) & frame.valid
+
+    map_obs = _pose_obs_from_bindings(m, frame, bindings, inv_sigma2_lut)
+    # Retry gate counts MAP matches only: temp matches must not talk the
+    # caller out of the doubled-window retry that recovers map anchors.
+    n_matches = jnp.sum(map_obs.valid)
+    res = pose_optimization(T_pred, map_obs, cam)
+    if last_depth is not None:
+        # Two-stage scarcity: optimize on map anchors alone first; only if
+        # that leaves tracking weak (< 20 inliers) re-optimize with the
+        # temp VO observations included.  Where the map is rich, temp
+        # points would outvote the absolute anchors with dead-reckoned
+        # positions and bias the pose; where it is thin they are the only
+        # thing keeping tracking alive (the point of VO mode).
+        pts_w = jnp.where(
+            t_ok[:, None], p_w[jnp.maximum(temp_src, 0)], map_obs.points_w
+        )
+        obs_full = map_obs._replace(
+            points_w=pts_w, valid=map_obs.valid | t_ok
+        )
+        res = jax.lax.cond(
+            (res.n_inliers < 20) & jnp.any(t_ok),
+            lambda: pose_optimization(T_pred, obs_full, cam),
+            lambda: res,
+        )
+    is_map_obs = bindings >= 0
+    n_map = jnp.sum(res.inlier & is_map_obs)
     bindings = jnp.where(res.inlier, bindings, NO_POINT)
-    return res.T_cw, bindings, res.n_inliers, n_matches
+    return res.T_cw, bindings, n_map, n_matches, res.n_inliers
 
 
 @jax.jit
@@ -385,11 +461,23 @@ class Tracker:
 
     def __init__(self, settings: Settings, local_mapper=None,
                  database=None, loop_closer=None, use_fused: bool = True,
-                 pipeline: bool = False, chunk: int = 0):
+                 pipeline: bool = False, chunk: int = 0,
+                 mapping_pipeline=None):
         self.settings = settings
         self.database = database
         self.loop_closer = loop_closer
         self.use_fused = use_fused
+        # Async mapping pipeline (models/async_pipeline.AsyncMappingPipeline):
+        # when set, keyframe mapping + loop closing run in a worker thread
+        # on a map snapshot (the reference's LocalMapping/LoopClosing
+        # threads, System.cc:≈90-100) and the tracker adopts the result at
+        # a later frame boundary; when None, they run synchronously inline.
+        self.mapping_pipeline = mapping_pipeline
+        # Deferred-keyframe urgency: with the pipeline busy, a keyframe
+        # request is dropped (SetAcceptKeyFrames(false)) unless the gap
+        # since the last keyframe reaches this many frames, in which case
+        # the tracker block-adopts (InterruptBA) and inserts anyway.
+        self.kf_urgent_gap = 10
         # Chunked driver mode: C frames per dispatch via lax.scan with
         # ON-DEVICE keyframe decision + insertion (track_fused.py's
         # make_fused_chunk_tracker).  Mapping/loop-closing resolve after
@@ -547,6 +635,10 @@ class Tracker:
             ref_kf=jnp.int32(self.ref_kf),
             weak=jnp.asarray(weak),
             frames_since_kf=jnp.int32(self.frame_id - self.last_kf_frame_id),
+            last_depth=lf.depth,
+            last_desc=lf.desc,
+            last_valid=lf.valid,
+            only_tracking=jnp.asarray(self.localization_only),
         )
 
     def _track_fused(self, sensor: str, inputs):
@@ -559,6 +651,7 @@ class Tracker:
         if self.pipeline:
             return self._track_fused_pipelined(sensor, inputs)
 
+        self._poll_adopt()
         step = self._get_fused_step(sensor)
         out = step(*inputs, self.map, self._make_ctx())
         self.map = out.m
@@ -570,7 +663,7 @@ class Tracker:
         path = int(flags[FLAG_PATH])
 
         self.metrics["frames"] += 1
-        self.metrics["track_path"] = {0: "none", 1: "motion", 2: "refkf"}[path]
+        self.metrics["track_path"] = {0: "none", 1: "motion", 2: "refkf", 3: "vo"}[path]
         created = False
         if ok:
             self.state = TrackState.OK
@@ -578,7 +671,7 @@ class Tracker:
             self.last_T = out.T_cw
             self.n_tracked_history.append(n_in)
             self.metrics["last_inliers"] = n_in
-            if need_kf and not self.localization_only:
+            if need_kf and not self.localization_only and self._kf_gate():
                 self._create_keyframe(frame, out.T_cw, out.bindings, sensor)
                 created = True
         else:
@@ -587,11 +680,19 @@ class Tracker:
             self.metrics["frames_lost"] += 1
 
         relocated = False
-        if self.state == TrackState.LOST and self.database is not None:
+        # Reloc on LOST, and also during VO dead-reckoning (the reference's
+        # mbVO mode relocalizes in parallel and prefers the reloc solution,
+        # Tracking.cc:≈420) — else the pose never re-anchors to the map.
+        vo_frame = path == 3
+        if (
+            (self.state == TrackState.LOST or vo_frame)
+            and self.database is not None
+        ):
             ok_reloc, T, bindings_r, n_r = self._relocalize(frame)
             if ok_reloc:
                 self.state = TrackState.OK
                 self.last_T = T
+                self.velocity = None
                 self.n_tracked_history.append(int(n_r))
                 self.metrics["relocalizations"] += 1
                 self.metrics["track_path"] = "reloc"
@@ -607,13 +708,15 @@ class Tracker:
                  self.state != TrackState.OK)
             )
         self._finish_frame(
-            frame, out.bindings if (ok and not created) else None
+            frame, out.bindings if (ok and not created and not relocated)
+            else None
         )
         return self.last_T
 
     # -- pipelined fused path (lag-1 flags readback, never blocks) ---------
 
     def _track_fused_pipelined(self, sensor: str, inputs):
+        self._poll_adopt()
         step = self._get_fused_step(sensor)
         ctx = self._next_ctx if self._next_ctx is not None else self._make_ctx()
         out = step(*inputs, self.map, ctx)
@@ -651,6 +754,8 @@ class Tracker:
         pending, self._pending = self._pending, None
         for p in pending or []:
             self._resolve_pending(p, getattr(self, "_fused_sensor", "mono"))
+        if self.mapping_pipeline is not None:
+            self._adopt(self.mapping_pipeline.wait())
 
     def _resolve_pending(self, pending, sensor: str):
         from .track_fused import (
@@ -664,7 +769,7 @@ class Tracker:
         need_kf = bool(flags[FLAG_NEED_KF])
         path = int(flags[FLAG_PATH])
         self.metrics["frames"] += 1
-        self.metrics["track_path"] = {0: "none", 1: "motion", 2: "refkf"}[path]
+        self.metrics["track_path"] = {0: "none", 1: "motion", 2: "refkf", 3: "vo"}[path]
 
         ref_at_dispatch = int(np.asarray(out.next_ctx.ref_kf))
         if ok:
@@ -673,6 +778,27 @@ class Tracker:
             self.n_tracked_history.append(n_in)
             self.metrics["last_inliers"] = n_in
             self.trajectory.append((fid, out.T_cr, ref_at_dispatch, False))
+            if need_kf and not self.localization_only and not self._kf_gate():
+                need_kf = False  # deferred: mapping job in flight
+            if path == 3 and self.database is not None:
+                # VO dead-reckoning: try to re-anchor to the map (mbVO
+                # parallel relocalization, Tracking.cc:≈420).
+                ok_r, T, _, n_r = self._relocalize(out.frame)
+                if ok_r:
+                    self.last_T = T
+                    self.metrics["relocalizations"] += 1
+                    self.metrics["track_path"] = "reloc"
+                    if self._next_ctx is not None:
+                        self._next_ctx = self._next_ctx._replace(
+                            T_last=jnp.asarray(T, jnp.float32),
+                            has_velocity=jnp.asarray(False),
+                            velocity=jnp.eye(4, dtype=jnp.float32),
+                            last_bindings=jnp.where(
+                                self.last_bindings >= 0, self.last_bindings,
+                                jnp.full_like(self.last_bindings, NO_POINT),
+                            ),
+                            ref_kf=jnp.int32(self.ref_kf),
+                        )
             if need_kf and not self.localization_only:
                 self._create_keyframe(
                     out.frame, out.T_cw, out.bindings, sensor, frame_id=fid
@@ -757,11 +883,22 @@ class Tracker:
         stacks = tuple(
             jnp.stack([b[i] for b in buf]) for i in range(len(buf[0]))
         )
+        # Async mapping: adopt any finished job; while one is in flight the
+        # chunk runs with keyframes disabled (SetAcceptKeyFrames(false))
+        # unless the gap is urgent, in which case block-adopt first.
+        self._poll_adopt()
+        allow_kf = not self.localization_only
+        mp = self.mapping_pipeline
+        if mp is not None and not mp.accept_keyframes():
+            if fid0 - self.last_kf_frame_id >= self.kf_urgent_gap:
+                self._adopt(mp.wait())
+            else:
+                allow_kf = False
         ctx = self._next_ctx if self._next_ctx is not None else self._make_ctx()
         step = self._get_chunk_step(sensor)
         out = step(
             *stacks, self.map, ctx, jnp.int32(fid0),
-            jnp.asarray(not self.localization_only),
+            jnp.asarray(allow_kf),
         )
         self.map = out.m
         self._next_ctx = out.next_ctx
@@ -781,7 +918,7 @@ class Tracker:
             kid = int(kf_ids[j])
             self.metrics["frames"] += 1
             self.metrics["track_path"] = (
-                {0: "none", 1: "motion", 2: "refkf"}[path]
+                {0: "none", 1: "motion", 2: "refkf", 3: "vo"}[path]
             )
             if ok:
                 self.state = TrackState.OK
@@ -804,12 +941,18 @@ class Tracker:
                     self.database.add_keyframe(
                         kid, self.map.kf_desc[kid], self.map.kf_kp_valid[kid]
                     )
-                if self.local_mapper is not None:
+                if self.mapping_pipeline is not None:
+                    # Async hand-off; if a rare second keyframe fired in
+                    # the same chunk, drain the previous job first.
+                    if not self.mapping_pipeline.accept_keyframes():
+                        self._adopt(self.mapping_pipeline.wait())
+                    self.mapping_pipeline.submit(self.map, kid)
+                elif self.local_mapper is not None:
                     self.map = self.local_mapper.process_keyframe(
                         self.map, kid
                     )
                     mapped = True
-                if self.loop_closer is not None:
+                if self.mapping_pipeline is None and self.loop_closer is not None:
                     self.map = self.loop_closer.process_keyframe(
                         self.map, kid
                     )
@@ -827,9 +970,14 @@ class Tracker:
             self._reanchor_culled_refs()
             self._maybe_compact()
 
-        if self.state == TrackState.LOST and self.database is not None:
+        last_vo = int(flags[-1, FLAG_PATH]) == 3
+        if (
+            self.state == TrackState.LOST or last_vo
+        ) and self.database is not None:
             # Relocalize on the chunk's last frame (rebuilt host-side from
-            # the raw inputs — reloc is rare, one extra extraction).
+            # the raw inputs — reloc is rare, one extra extraction).  Also
+            # fired while VO dead-reckoning (mbVO parallel reloc) so the
+            # pose re-anchors to the map at chunk cadence.
             frame = self._build_frame(sensor, buf[-1])
             ok_r, T, bindings_r, n_r = self._relocalize(frame)
             if ok_r:
@@ -856,6 +1004,9 @@ class Tracker:
                     ),
                     last_xy=frame.xy,
                     last_level=frame.level,
+                    last_depth=frame.depth,
+                    last_desc=frame.desc,
+                    last_valid=frame.valid,
                     ref_kf=jnp.int32(self.ref_kf),
                 )
 
@@ -888,23 +1039,41 @@ class Tracker:
 
         # --- pose prediction + motion-model tracking ---
         ok = False
+        vo_mode = False
         if self.velocity is not None:
             T_pred = self.velocity @ self.last_T
             th = 15.0 if sensor == "mono" else 7.0
-            T, bindings, n_in, n_match = track_motion_model(
+            lf = self.last_frame
+            use_temp = sensor != "mono" and self.localization_only
+            temp_args = dict(
+                last_depth=None if not use_temp else lf.depth,
+                last_desc=None if not use_temp else lf.desc,
+                last_valid=None if not use_temp else lf.valid,
+                T_last=None if not use_temp else jnp.asarray(
+                    self.last_T, jnp.float32),
+                temp_depth_cap=self._th_depth(),
+            )
+            T, bindings, n_in, n_match, n_tot = track_motion_model(
                 self.map, frame, T_pred, self.last_frame.xy,
                 self.last_bindings, self.last_frame.level, self.cam,
                 self.scale_factors, self.inv_sigma2, jnp.float32(th),
+                **temp_args,
             )
             if int(n_match) < 20:
                 # Reference retries with a doubled window when the motion
                 # model found too few matches (Tracking.cc:≈880).
-                T, bindings, n_in, n_match = track_motion_model(
+                T, bindings, n_in, n_match, n_tot = track_motion_model(
                     self.map, frame, T_pred, self.last_frame.xy,
                     self.last_bindings, self.last_frame.level, self.cam,
                     self.scale_factors, self.inv_sigma2, jnp.float32(2 * th),
+                    **temp_args,
                 )
             ok = int(n_in) >= 10
+            # Localization-only VO candidate (Tracking.cc:≈900 mbVO):
+            # enough TOTAL (map + temp VO point) inliers to dead-reckon if
+            # the map-anchored chain below fails.
+            if self.localization_only and int(n_tot) >= 20:
+                vo_mode = (T, bindings, int(n_tot))
         used_motion = ok
         if not ok:
             T, bindings, n_in, n_match = track_reference_keyframe(
@@ -946,9 +1115,19 @@ class Tracker:
                 )
                 ok = int(n_in) >= 30
 
+        vo_fired = False
+        if not ok and vo_mode:
+            # VO-mode fallback: the map-anchored chain failed; accept the
+            # motion-model dead-reckoned pose (localization-only).
+            T, bindings, n_in = vo_mode
+            ok = True
+            used_motion = True
+            vo_fired = True
         self.metrics["frames"] += 1
         self.metrics["track_path"] = (
-            "motion" if used_motion and ok else ("refkf" if ok else "none")
+            "vo" if vo_fired
+            else "motion" if used_motion and ok
+            else ("refkf" if ok else "none")
         )
         created_kf = False
         if ok:
@@ -959,7 +1138,10 @@ class Tracker:
             self.last_T = T
             self.n_tracked_history.append(int(n_in))
             self.metrics["last_inliers"] = int(n_in)
-            if self._need_new_keyframe(frame, bindings, int(n_in), sensor):
+            if (
+                self._need_new_keyframe(frame, bindings, int(n_in), sensor)
+                and self._kf_gate()
+            ):
                 self._create_keyframe(frame, T, bindings, sensor)
                 created_kf = True
         else:
@@ -967,14 +1149,18 @@ class Tracker:
             self.velocity = None
             self.metrics["frames_lost"] += 1
 
-        if self.state == TrackState.LOST and self.database is not None:
-            ok_reloc, T, bindings, n_in = self._relocalize(frame)
+        if (
+            self.state == TrackState.LOST or vo_fired
+        ) and self.database is not None:
+            ok_reloc, T_r, bindings_r, n_r = self._relocalize(frame)
             if ok_reloc:
+                T, bindings, n_in = T_r, bindings_r, int(n_r)
                 self.state = TrackState.OK
                 self.last_T = T
+                self.velocity = None
                 self.n_tracked_history.append(int(n_in))
                 self.metrics["relocalizations"] += 1
-                self.metrics["track_path"] = "reloc" 
+                self.metrics["track_path"] = "reloc"
 
         self._log_pose(frame)
         # When a keyframe was created, _create_keyframe already stored the
@@ -1187,6 +1373,13 @@ class Tracker:
         self.last_bindings = bindings
         if self.database is not None:
             self.database.add_keyframe(int(kf_id), frame.desc, frame.valid)
+        if self.mapping_pipeline is not None:
+            # Async hand-off (the reference's LocalMapping queue): tracking
+            # keeps ITS map (already containing the new keyframe); mapping
+            # + loop closing run on a snapshot in the worker and are
+            # adopted at a later frame boundary (_poll_adopt).
+            self.mapping_pipeline.submit(self.map, int(kf_id))
+            return
         if self.local_mapper is not None:
             self.map = self.local_mapper.process_keyframe(self.map, int(kf_id))
         if self.loop_closer is not None:
@@ -1200,6 +1393,67 @@ class Tracker:
         )
         if self.local_mapper is not None:
             self._reanchor_culled_refs()
+        self._maybe_compact()
+
+    # -- async mapping adoption ----------------------------------------------
+
+    def _kf_gate(self) -> bool:
+        """May a keyframe be created right now?  True when no async job is
+        in flight; on an urgent gap, block-adopt the in-flight job first
+        (InterruptBA) and return True."""
+        mp = self.mapping_pipeline
+        if mp is None or mp.accept_keyframes():
+            return True
+        if self.frame_id - self.last_kf_frame_id >= self.kf_urgent_gap:
+            self._adopt(mp.wait())
+            return True
+        return False  # deferred: SetAcceptKeyFrames(false)
+
+    def _poll_adopt(self):
+        if self.mapping_pipeline is not None:
+            self._adopt(self.mapping_pipeline.poll())
+
+    def _adopt(self, result):
+        """Adopt an async mapping/loop result: merge tracking-side stats,
+        re-anchor the tracker pose through the reference keyframe (the
+        reference's UpdateLastFrame pose refresh, Tracking.cc:≈810), scrub
+        bindings against the post-mapping point pool."""
+        if result is None:
+            return
+        from .async_pipeline import merge_tracking_stats
+
+        mapped, snapshot, _kf = result
+        new_map = merge_tracking_stats(mapped, snapshot, self.map)
+        # World re-anchor: T_cw_new = T_cw_old * T_rw_old^-1 * T_rw_new for
+        # the tracker's reference keyframe (velocity is invariant to this
+        # right-multiplication).
+        ref = self.ref_kf
+        if bool(new_map.kf_valid[ref]):
+            R = np.linalg.inv(np.asarray(snapshot.kf_pose_cw[ref])) @ \
+                np.asarray(new_map.kf_pose_cw[ref])
+        else:
+            R = np.eye(4)
+        self.map = new_map
+        self.last_T = jnp.asarray(np.asarray(self.last_T) @ R, jnp.float32)
+        if self.last_bindings is not None:
+            self.last_bindings = jnp.where(
+                (self.last_bindings >= 0)
+                & self.map.pt_valid[jnp.maximum(self.last_bindings, 0)],
+                self.last_bindings, NO_POINT,
+            )
+        if self._next_ctx is not None:
+            lb = self._next_ctx.last_bindings
+            lb = jnp.where(
+                (lb >= 0) & self.map.pt_valid[jnp.maximum(lb, 0)],
+                lb, NO_POINT,
+            )
+            self._next_ctx = self._next_ctx._replace(
+                last_bindings=lb,
+                T_last=jnp.asarray(
+                    np.asarray(self._next_ctx.T_last) @ R, jnp.float32
+                ),
+            )
+        self._reanchor_culled_refs()
         self._maybe_compact()
 
     # -- keyframe-pool maintenance ------------------------------------------
@@ -1244,6 +1498,13 @@ class Tracker:
         cap = self.map.kf_capacity
         if int(self.map.n_kf) < cap - 4:
             return
+        if (
+            self.mapping_pipeline is not None
+            and not self.mapping_pipeline.accept_keyframes()
+        ):
+            # Compaction remaps keyframe ids; an in-flight mapping job holds
+            # a pre-compaction snapshot — adopt it first.
+            self._adopt(self.mapping_pipeline.wait())
         self._reanchor_culled_refs()
         m2, kf_map = ms.compact_map(self.map)
         if int(m2.n_kf) >= int(self.map.n_kf):

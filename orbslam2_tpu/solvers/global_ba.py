@@ -187,6 +187,21 @@ def _next_pow2(n: int, lo: int = 16) -> int:
     return v
 
 
+_JOINT_CORE_CACHE = {}
+
+
+def _joint_core(phase_iters: Tuple[int, int]):
+    """Cached jitted schur_ba_core per phase schedule (a fresh jax.jit per
+    call would recompile the full Schur program on every GBA segment)."""
+    if phase_iters not in _JOINT_CORE_CACHE:
+        from .local_ba import schur_ba_core
+
+        _JOINT_CORE_CACHE[phase_iters] = jax.jit(
+            functools.partial(schur_ba_core, phase_iters=phase_iters)
+        )
+    return _JOINT_CORE_CACHE[phase_iters]
+
+
 def run_joint_global_ba(
     m: ms.MapState,
     cam: CameraModel,
@@ -206,7 +221,6 @@ def run_joint_global_ba(
     import numpy as np
 
     from .lie import orthonormalize_se3
-    from .local_ba import schur_ba_core
 
     kf_valid = np.asarray(m.kf_valid)
     pt_valid = np.asarray(m.pt_valid)
@@ -249,8 +263,8 @@ def run_joint_global_ba(
                    jnp.asarray(np.asarray(m.kf_ur)[kf_pad]), -1.0)
 
     pts0 = jnp.zeros((Pa, 3)).at[: len(pt_ids)].set(m.pt_pos[jnp.asarray(pt_ids)])
-    core = jax.jit(functools.partial(schur_ba_core, phase_iters=phase_iters))
-    poses, pts, _ = core(
+    core = _joint_core(phase_iters)
+    poses, pts, _, _ = core(
         m.kf_pose_cw[kf_pad_j], pts0,
         m.kf_xy[kf_pad_j], ur, inv_s2,
         jnp.asarray(pid), jnp.asarray(obs_ok),

@@ -114,7 +114,8 @@ def schur_ba_core(
     inverted batched, dense reduced camera system, 5-robust + 10-plain
     phase schedule with chi2 pruning between (Optimizer.cc:≈560).
 
-    Returns (poses (C,4,4), pts (P,3), obs_mask (C,N) inlier mask).
+    Returns (poses (C,4,4), pts (P,3), obs_mask (C,N) inlier mask,
+    pt_in (P,) participating-point mask).
     """
     C = poses0.shape[0]
     P = pts0.shape[0]
@@ -123,8 +124,13 @@ def schur_ba_core(
     delta_h = jnp.sqrt(chi2_th)
 
     # Which points participate (observed by >= 1 used camera here).
-    pt_in = jnp.zeros((P,), bool).at[pid.reshape(-1)].set(
-        obs_ok.reshape(-1), mode="drop"
+    # scatter-.max (not .set) so duplicate indices — every invalid obs
+    # writes slot 0 — can never race a genuine True with a False.
+    pt_in = (
+        jnp.zeros((P,), jnp.int32)
+        .at[pid.reshape(-1)]
+        .max(obs_ok.reshape(-1).astype(jnp.int32), mode="drop")
+        > 0
     )
     # Hold points fixed if ONLY fixed cameras see them locally?  The
     # reference optimizes all local points; fixed-cam-only points have no
@@ -218,7 +224,7 @@ def schur_ba_core(
         # chi2 outlier pruning between phases (and after the last).
         chi2 = chi2_of(poses, pts, obs_mask)
         obs_mask = obs_mask & (chi2 <= chi2_th)
-    return poses, pts, obs_mask
+    return poses, pts, obs_mask, pt_in
 
 
 @functools.partial(
@@ -247,12 +253,9 @@ def local_bundle_adjustment(
     obs_ok = obs_ok & m.pt_valid[pid]
     inv_s2 = inv_sigma2_lut[jnp.clip(lvl, 0, inv_sigma2_lut.shape[0] - 1)]
 
-    poses, pts, obs_mask = schur_ba_core(
+    poses, pts, obs_mask, pt_in = schur_ba_core(
         poses0, m.pt_pos, uv, ur, inv_s2, pid, obs_ok, is_fixed, used, cam,
         phase_iters,
-    )
-    pt_in = jnp.zeros((m.pt_capacity,), bool).at[pid.reshape(-1)].set(
-        obs_ok.reshape(-1), mode="drop"
     )
 
     # Write back: poses, points, and unbind outlier observations.

@@ -118,6 +118,48 @@ class TestLocalizationMode:
         assert ate < 0.1, ate
 
 
+class TestLocalizationVO:
+    def test_vo_mode_survives_unmapped_region(self):
+        """Temp VO points (Tracking::UpdateLastFrame, Tracking.cc:≈810) +
+        VO mode (mbVO): in localization-only mode the camera drives far
+        past the mapped region; motion-model tracking must dead-reckon on
+        temporary close-depth points instead of going LOST."""
+        from tests.test_slam_e2e import small_settings
+
+        from orbslam2_tpu.models.system import Sensor, SlamSystem
+        from orbslam2_tpu.models.tracking import TrackState
+        from orbslam2_tpu.utils import synthetic
+
+        s = small_settings(bf=32.0)
+        cam = s.camera_model()
+        # Long forward corridor: the second half leaves the initial map's
+        # scale band / frustum coverage.
+        seq = synthetic.make_sequence(
+            cam, n_frames=36, n_points=400, with_depth=True, seed=11,
+            radius=0.1, forward=5.0,
+        )
+        sys = SlamSystem(s, Sensor.RGBD, enable_loop_closing=False)
+        n_map_frames = 10
+        for i in range(n_map_frames):
+            sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
+        assert sys.tracking_state() == TrackState.OK
+        sys.activate_localization_mode()
+        states, paths = [], []
+        for i in range(n_map_frames, 36):
+            sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
+            states.append(sys.tracking_state())
+            paths.append(sys.tracker.metrics["track_path"])
+        n_lost = sum(1 for st in states if st != TrackState.OK)
+        assert n_lost == 0, f"lost {n_lost} frames in loc-only mode: {paths}"
+        assert "vo" in paths, (
+            f"VO mode never fired — map coverage never faded? paths={paths}"
+        )
+        # Dead-reckoned drift stays bounded (no absolute anchor out there).
+        est = sys.poses_wc()
+        ate = synthetic.ate_rmse(est, seq.poses_wc, with_scale=False)
+        assert ate < 0.6, f"VO drift too large: {ate}"
+
+
 class TestDeterminism:
     def test_repeated_runs_identical(self):
         """SURVEY.md §7: the reference is nondeterministic (thread timing +

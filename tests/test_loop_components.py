@@ -357,7 +357,10 @@ class TestFuse:
         )
         cam = CAM
         scales = jnp.asarray([1.2 ** i for i in range(4)], jnp.float32)
-        m2 = fuse_with_neighbor(m, jnp.int32(0), jnp.int32(1), cam, scales)
+        inv_s2 = 1.0 / (scales * scales)
+        m2 = fuse_with_neighbor(
+            m, jnp.int32(0), jnp.int32(1), cam, scales, inv_s2
+        )
         bound = np.asarray(m2.kf_point[1])
         n_bound = int((bound >= 0).sum())
         assert n_bound > N * 0.6, f"only {n_bound} fused bindings"
