@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="frames per device dispatch (lax.scan chunk; "
                          "mapping resolves with lag <= chunk)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="mapping/loop closing in a worker thread (the "
+                         "reference's LocalMapping/LoopClosing threads)")
+    ap.add_argument("--gt", default=None,
+                    help="ground-truth trajectory (TUM groundtruth.txt or "
+                         "KITTI poses file): prints ATE/RPE at exit")
     args = ap.parse_args()
 
     if args.cpu:
@@ -74,7 +80,8 @@ def main():
         print(f"vocabulary loaded in {time.perf_counter() - t0:.2f} s")
 
     system = SlamSystem(settings, args.sensor, vocabulary=vocabulary,
-                        pipeline=args.pipeline, chunk=args.chunk)
+                        pipeline=args.pipeline, chunk=args.chunk,
+                        async_mapping=args.async_mapping)
 
     # --- frame source ---
     if args.dataset == "tum" and args.sensor == "rgbd":
@@ -134,15 +141,37 @@ def main():
     print(f"median tracking time: {ts_sorted[len(ts_sorted)//2]*1e3:.1f} ms")
     print(f"mean tracking time:   {sum(times)/len(times)*1e3:.1f} ms")
 
+    system.shutdown()  # drain in-flight frames + async mapping jobs
     os.makedirs(args.out, exist_ok=True)
+    traj = os.path.join(args.out, "CameraTrajectory.txt")
     if args.dataset == "kitti":
-        system.save_trajectory_kitti(os.path.join(args.out, "CameraTrajectory.txt"))
+        system.save_trajectory_kitti(traj)
     else:
-        system.save_trajectory_tum(os.path.join(args.out, "CameraTrajectory.txt"))
+        system.save_trajectory_tum(traj)
     system.save_keyframe_trajectory_tum(
         os.path.join(args.out, "KeyFrameTrajectory.txt")
     )
     print(f"trajectories written to {args.out}/")
+
+    if args.gt:
+        # One-command accuracy table (BASELINE.md's metric): evaluate the
+        # just-written trajectory against ground truth.
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "evaluate", os.path.join(os.path.dirname(__file__), "evaluate.py")
+        )
+        ev = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ev)
+        res = ev.evaluate_files(
+            traj, args.gt,
+            fmt="kitti" if args.dataset == "kitti" else "tum",
+            with_scale=(args.sensor == "mono"),
+        )
+        align = "Sim3" if args.sensor == "mono" else "SE3"
+        print(f"ATE RMSE ({align}): {res['ate_rmse_m']:.4f} m over "
+              f"{res['pairs']} pairs | RPE {res['rpe_trans_rmse_m']:.4f} m "
+              f"| drift {res['drift_pct']:.2f}%")
 
 
 if __name__ == "__main__":

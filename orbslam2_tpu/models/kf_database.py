@@ -9,12 +9,26 @@ SURVEY.md §2.1): the inverted file over vocabulary words becomes either
     (one dense query row + gathers) — the inverted-file access pattern as
     a gather kernel, feasible at the 10^6-word ORBvoc scale.
 
-DetectLoopCandidates / DetectRelocalizationCandidates keep the reference's
-candidate logic (covisible exclusion + min-score gate).
+DetectLoopCandidates / DetectRelocalizationCandidates implement the
+reference's FULL candidate logic (KeyFrameDatabase.cc:≈90-200):
+
+  1. common-word prefilter: count shared vocabulary words per keyframe,
+     keep those with > 0.8 * maxCommonWords;
+  2. L1-score gate (loop: >= minScore among the query's covisibles);
+  3. covisibility-group ACCUMULATED score: each candidate's score plus the
+     scores of its top-10 covisible keyframes that are also shortlisted —
+     the anti-perceptual-aliasing mechanism (a true revisit is corroborated
+     by its neighborhood, a lone aliased match is not);
+  4. keep each group's best keyframe, cut at 0.75 * bestAccScore.
+
+The database also stores each keyframe's FEATURE NODE ids (the DBoW2
+FeatureVector): matchers use them to gate candidate pairs (node-gated
+SearchByBoW, src/ORBmatcher.cc:≈250).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -25,6 +39,36 @@ from ..ops import bow as bow_mod
 from . import map_state as ms
 
 _DENSE_MAX_WORDS = 1 << 17  # beyond this, dense (K, W) rows are wasteful
+_MAX_SHORTLIST = 16         # candidates entering group accumulation
+
+
+@functools.partial(jax.jit, static_argnames=("n_top",))
+def _grouped_acc_scores(
+    m: ms.MapState,
+    short_ids: jnp.ndarray,    # (S,) candidate keyframe ids
+    short_ok: jnp.ndarray,     # (S,)
+    scores: jnp.ndarray,       # (K,) L1 scores (0 where not shortlisted)
+    shortlist: jnp.ndarray,    # (K,) bool
+    n_top: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-candidate accumulated score over its top-10 covisibles that are
+    also shortlisted, and the best-scoring keyframe of each group."""
+
+    def one(c, ok):
+        row = ms.covisible_row(m, c)
+        w, ids = jax.lax.top_k(row, min(n_top, int(row.shape[0])))
+        in_grp = (w > 0) & shortlist[ids]
+        grp_scores = jnp.where(in_grp, scores[ids], 0.0)
+        acc = scores[c] + jnp.sum(grp_scores)
+        # Best member of the group (candidate itself included).
+        best_i = jnp.argmax(jnp.where(in_grp, scores[ids], -1.0))
+        best_kf = jnp.where(
+            jnp.max(jnp.where(in_grp, scores[ids], -1.0)) > scores[c],
+            ids[best_i], c,
+        )
+        return jnp.where(ok, acc, -1.0), best_kf
+
+    return jax.vmap(one)(short_ids, short_ok)
 
 
 class KeyframeDatabase:
@@ -46,6 +90,9 @@ class KeyframeDatabase:
             self.bow = jnp.zeros((kf_capacity, vocab.n_words), jnp.float32)
         self.has_entry = jnp.zeros((kf_capacity,), bool)
         self._feat_capacity = feat_capacity
+        # Per-keyframe feature node ids (DBoW2 FeatureVector) for node-
+        # gated SearchByBoW; allocated on first add (per-slot feature dim).
+        self.db_nodes: Optional[jnp.ndarray] = None
 
     # -- updates -----------------------------------------------------------
 
@@ -64,31 +111,108 @@ class KeyframeDatabase:
             self.db_weights = self.db_weights.at[kf_id].set(swt[:cap])
         else:
             self.bow = self.bow.at[kf_id].set(row)
+        if self.db_nodes is None:
+            self.db_nodes = jnp.full(
+                (self.has_entry.shape[0], nodes.shape[0]), -1, jnp.int32
+            )
+        self.db_nodes = self.db_nodes.at[kf_id].set(
+            jnp.where(valid, nodes, -1)
+        )
         self.has_entry = self.has_entry.at[kf_id].set(True)
         return words, nodes
 
+    def nodes_for(self, kf_id: int) -> Optional[jnp.ndarray]:
+        """(N,) feature node ids of a stored keyframe (-1 invalid), or None
+        before any insertion."""
+        if self.db_nodes is None:
+            return None
+        return self.db_nodes[kf_id]
+
+    def frame_nodes(self, desc: jnp.ndarray, valid: jnp.ndarray):
+        _, words, nodes = self.transformer(desc, valid)
+        return jnp.where(valid, nodes, -1)
+
     # -- scoring -----------------------------------------------------------
 
-    def _scores(self, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    def _query_row(self, desc: jnp.ndarray, valid: jnp.ndarray):
         row, words, _ = self.transformer(desc, valid)
-        if self.sparse:
-            sw, swt = bow_mod.sparse_bow(
-                words, self.vocab.idf, self.vocab.n_words
-            )
-            return bow_mod.l1_scores_sparse(
-                sw, swt, self.db_words, self.db_weights, self.vocab.n_words
-            )
-        return bow_mod.l1_scores(row, self.bow)
+        return row, words
 
-    def _scores_for_kf(self, kf_id: int) -> jnp.ndarray:
+    def _scores_and_common(self, row, words) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """L1 scores (K,) + common-word counts (K,) for a query row."""
+        W = self.vocab.n_words
+        qmask = jnp.zeros((W,), jnp.float32).at[
+            jnp.where(words >= 0, words, 0)
+        ].max(jnp.where(words >= 0, 1.0, 0.0))
         if self.sparse:
-            return bow_mod.l1_scores_sparse(
-                self.db_words[kf_id], self.db_weights[kf_id],
-                self.db_words, self.db_weights, self.vocab.n_words,
+            sw, swt = bow_mod.sparse_bow(words, self.vocab.idf, W)
+            scores = bow_mod.l1_scores_sparse(
+                sw, swt, self.db_words, self.db_weights, W
             )
-        return bow_mod.l1_scores(self.bow[kf_id], self.bow)
+            hits = qmask[jnp.maximum(self.db_words, 0)] * (
+                self.db_words >= 0
+            )
+            common = jnp.sum(hits, axis=1)
+        else:
+            scores = bow_mod.l1_scores(row, self.bow)
+            common = (self.bow > 0).astype(jnp.float32) @ qmask
+        return scores, common
+
+    def _scores(self, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        row, words = self._query_row(desc, valid)
+        scores, _ = self._scores_and_common(row, words)
+        return scores
+
+    def _scores_for_kf(self, m: ms.MapState, kf_id: int):
+        row, words = self._query_row(
+            m.kf_desc[kf_id], m.kf_kp_valid[kf_id]
+        )
+        return self._scores_and_common(row, words)
 
     # -- queries (reference candidate logic) -------------------------------
+
+    def _grouped_candidates(
+        self,
+        m: ms.MapState,
+        scores: jnp.ndarray,
+        common: jnp.ndarray,
+        eligible: jnp.ndarray,
+        n_candidates: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Steps 1+3+4 of the reference logic, shared by loop + reloc."""
+        eligible = eligible & (common > 0)
+        max_common = jnp.max(jnp.where(eligible, common, 0.0))
+        shortlist = eligible & (common > 0.8 * max_common)
+        sl_scores = jnp.where(shortlist, scores, 0.0)
+        top_s, short_ids = jax.lax.top_k(
+            jnp.where(shortlist, scores, -1.0),
+            min(_MAX_SHORTLIST, int(shortlist.shape[0])),
+        )
+        short_ok = top_s > 0.0
+        acc, best_kf = _grouped_acc_scores(
+            m, short_ids.astype(jnp.int32), short_ok, sl_scores, shortlist
+        )
+        acc = np.asarray(acc)
+        best_kf = np.asarray(best_kf)
+        if not (acc > 0).any():
+            return np.zeros(0, np.int64), np.zeros(0)
+        cut = 0.75 * acc.max()
+        keep = acc >= cut
+        # Dedupe group winners, strongest accumulated score first.
+        order = np.argsort(-acc)
+        seen, out_ids, out_acc = set(), [], []
+        for i in order:
+            if not keep[i]:
+                continue
+            k = int(best_kf[i])
+            if k in seen:
+                continue
+            seen.add(k)
+            out_ids.append(k)
+            out_acc.append(float(acc[i]))
+            if len(out_ids) >= n_candidates:
+                break
+        return np.asarray(out_ids, np.int64), np.asarray(out_acc)
 
     def detect_loop_candidates(
         self,
@@ -96,12 +220,11 @@ class KeyframeDatabase:
         kf_id: int,
         n_candidates: int = 3,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """KeyFrameDatabase::DetectLoopCandidates (≈90): exclude the query's
-        covisible neighbors, gate on the min score among covisibles, return
-        the top remaining keyframes."""
-        scores = self._scores_for_kf(kf_id)
-        W = ms.covisibility(m)
-        covis_row = W[kf_id] > 0
+        """KeyFrameDatabase::DetectLoopCandidates (≈90): common-word
+        prefilter, covisible exclusion, min-score gate, covisibility-group
+        accumulated scoring with the 0.75 cut."""
+        scores, common = self._scores_for_kf(m, kf_id)
+        covis_row = ms.covisible_row(m, jnp.int32(kf_id)) > 0
         covis_scores = jnp.where(covis_row & self.has_entry, scores, jnp.inf)
         min_score = jnp.min(covis_scores)
         min_score = jnp.where(jnp.isinf(min_score), 0.0, min_score)
@@ -112,12 +235,9 @@ class KeyframeDatabase:
             & m.kf_valid
             & ~covis_row
             & (jnp.arange(K) != kf_id)
-            & (scores >= jnp.maximum(min_score, 0.0))
+            & (scores >= jnp.maximum(min_score, 1e-9))
         )
-        masked = jnp.where(eligible, scores, -1.0)
-        top_s, top_i = jax.lax.top_k(masked, n_candidates)
-        keep = np.asarray(top_s) > 0.0
-        return np.asarray(top_i)[keep], np.asarray(top_s)[keep]
+        return self._grouped_candidates(m, scores, common, eligible, n_candidates)
 
     def detect_relocalization_candidates(
         self,
@@ -126,14 +246,13 @@ class KeyframeDatabase:
         frame_valid: jnp.ndarray,
         n_candidates: int = 3,
     ) -> np.ndarray:
-        """KeyFrameDatabase::DetectRelocalizationCandidates (≈200): no
-        covisibility exclusion, no min-score gate."""
-        scores = self._scores(frame_desc, frame_valid)
-        eligible = self.has_entry & m.kf_valid
-        masked = jnp.where(eligible, scores, -1.0)
-        top_s, top_i = jax.lax.top_k(masked, n_candidates)
-        keep = np.asarray(top_s) > 0.0
-        return np.asarray(top_i)[keep]
+        """KeyFrameDatabase::DetectRelocalizationCandidates (≈200): same
+        grouped logic without the covisibility exclusion / min-score gate."""
+        row, words = self._query_row(frame_desc, frame_valid)
+        scores, common = self._scores_and_common(row, words)
+        eligible = self.has_entry & m.kf_valid & (scores > 0)
+        ids, _ = self._grouped_candidates(m, scores, common, eligible, n_candidates)
+        return ids
 
     # -- maintenance ---------------------------------------------------------
 
@@ -157,6 +276,8 @@ class KeyframeDatabase:
             )
         else:
             self.bow = jnp.where(live[:, None], self.bow[src], 0.0)
+        if self.db_nodes is not None:
+            self.db_nodes = jnp.where(live[:, None], self.db_nodes[src], -1)
         self.has_entry = live & self.has_entry[src]
 
     # -- compat ------------------------------------------------------------

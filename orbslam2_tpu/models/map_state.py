@@ -107,53 +107,123 @@ def make_empty_map(kf_capacity: int, pt_capacity: int, feat_capacity: int) -> Ma
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def observation_matrix(m: MapState) -> jnp.ndarray:
-    """B (P, K) float32: B[p, k] = 1 iff point p is bound to a valid keypoint
-    of valid keyframe k.  One scatter over the forward index."""
-    K, N = m.kf_point.shape
-    P = m.pt_capacity
-    kf_ids = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
+def _valid_obs(m: MapState):
+    """(K, N) validity + point ids of the forward observation index."""
     pts = m.kf_point
     ok = (
         (pts >= 0)
         & m.kf_kp_valid
         & m.kf_valid[:, None]
-        & (pts < P)
+        & (pts < m.pt_capacity)
     )
+    ok = ok & m.pt_valid[jnp.where(ok, pts, 0)]
+    return ok, pts
+
+
+@jax.jit
+def observation_matrix(m: MapState) -> jnp.ndarray:
+    """B (P, K) float32: B[p, k] = 1 iff point p is bound to a valid keypoint
+    of valid keyframe k.  One scatter over the forward index.
+
+    NOTE: O(P*K) memory — loop-rate consumers only.  Per-frame code paths
+    use the segment-op helpers below (points_seen_by / covisible_row /
+    point_observation_counts), which never materialize (P, K)."""
+    K, N = m.kf_point.shape
+    P = m.pt_capacity
+    kf_ids = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
+    ok, pts = _valid_obs(m)
     pts_safe = jnp.where(ok, pts, 0)
     B = jnp.zeros((P, K), jnp.float32)
     B = B.at[pts_safe.reshape(-1), kf_ids.reshape(-1)].add(
         ok.reshape(-1).astype(jnp.float32)
     )
-    B = B * m.pt_valid[:, None].astype(jnp.float32)
     return jnp.minimum(B, 1.0)
 
 
 @jax.jit
-def covisibility(m: MapState) -> jnp.ndarray:
+def points_seen_by(m: MapState, kf_mask: jnp.ndarray) -> jnp.ndarray:
+    """(P,) bool: points observed by any keyframe in ``kf_mask`` (K,) —
+    one scatter over the forward index, no (P, K) intermediate."""
+    ok, pts = _valid_obs(m)
+    ok = ok & kf_mask[:, None]
+    idx = jnp.where(ok, pts, m.pt_capacity)
+    seen = jnp.zeros((m.pt_capacity,), jnp.int32).at[idx.reshape(-1)].max(
+        jnp.ones_like(idx.reshape(-1)), mode="drop"
+    )
+    return seen > 0
+
+
+@jax.jit
+def covisible_row(m: MapState, kf_id: jnp.ndarray) -> jnp.ndarray:
+    """(K,) int32: shared-point counts of ``kf_id`` vs every keyframe — one
+    row of the covisibility matrix (KeyFrame::GetCovisiblesByWeight) via a
+    point-membership scatter + a (K, N) gather.  O(P + K*N), no (P, K)."""
+    row_pts = m.kf_point[kf_id]
+    ok_row = (
+        (row_pts >= 0) & m.kf_kp_valid[kf_id] & m.kf_valid[kf_id]
+        & m.pt_valid[jnp.maximum(row_pts, 0)]
+    )
+    idx = jnp.where(ok_row, row_pts, m.pt_capacity)
+    member = jnp.zeros((m.pt_capacity,), jnp.int32).at[idx].max(
+        jnp.ones_like(idx), mode="drop"
+    ) > 0
+    ok, pts = _valid_obs(m)
+    hit = member[jnp.where(ok, pts, 0)] & ok
+    w = jnp.sum(hit, axis=1).astype(jnp.int32)
+    return w.at[kf_id].set(0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def covisibility(m: MapState, chunk: int = 16384) -> jnp.ndarray:
     """(K, K) int32 covisibility weights (shared-point counts, diag zeroed).
 
-    The whole covisibility graph of the reference in one MXU matmul.
-    """
-    B = observation_matrix(m)
-    W = jnp.einsum("pk,pl->kl", B, B)
-    W = W * (1.0 - jnp.eye(W.shape[0]))
+    The whole covisibility graph (KeyFrame::UpdateConnections) as MXU
+    matmuls over POINT CHUNKS: W = sum_c B_c^T B_c with B_c (chunk, K)
+    scattered from the forward index — O(chunk*K) memory instead of the
+    full (P, K).  Loop-rate consumers only (pose graph, loop grouping);
+    per-frame paths use covisible_row / points_seen_by."""
+    K, N = m.kf_point.shape
+    P = m.pt_capacity
+    CH = min(chunk, P)
+    n_chunks = -(-P // CH)
+    ok, pts = _valid_obs(m)
+    kf_ids = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0).reshape(-1)
+    pts_flat = jnp.where(ok, pts, P).reshape(-1)
+
+    def body(W, c):
+        start = c * CH
+        local = pts_flat - start
+        in_ch = (local >= 0) & (local < CH)
+        li = jnp.where(in_ch, local, CH)
+        B = jnp.zeros((CH + 1, K), jnp.float32).at[li, kf_ids].add(
+            in_ch.astype(jnp.float32)
+        )
+        B = jnp.minimum(B[:CH], 1.0)
+        return W + B.T @ B, None
+
+    W, _ = jax.lax.scan(
+        body, jnp.zeros((K, K), jnp.float32), jnp.arange(n_chunks)
+    )
+    W = W * (1.0 - jnp.eye(K))
     return W.astype(jnp.int32)
 
 
 @jax.jit
 def point_observation_counts(m: MapState) -> jnp.ndarray:
-    """(P,) number of keyframes observing each point."""
-    return jnp.sum(observation_matrix(m), axis=1).astype(jnp.int32)
+    """(P,) number of keyframes observing each point — one scatter-add."""
+    ok, pts = _valid_obs(m)
+    idx = jnp.where(ok, pts, m.pt_capacity)
+    counts = jnp.zeros((m.pt_capacity,), jnp.int32).at[idx.reshape(-1)].add(
+        1, mode="drop"
+    )
+    return counts
 
 
 @functools.partial(jax.jit, static_argnames=("n_best",))
 def best_covisible(m: MapState, kf_id: jnp.ndarray, n_best: int = 10):
     """Ids + weights of the top-n covisible keyframes of ``kf_id``
     (KeyFrame::GetBestCovisibilityKeyFrames, src/KeyFrame.cc:≈185)."""
-    W = covisibility(m)
-    row = W[kf_id]
+    row = covisible_row(m, kf_id)
     w, ids = jax.lax.top_k(row, n_best)
     return ids.astype(jnp.int32), w
 
@@ -197,12 +267,18 @@ def update_point_stats(m: MapState, scale_factors: jnp.ndarray = None) -> MapSta
     # Scale band from the reference keyframe's observation distance + octave.
     ref_kf = jnp.clip(m.pt_ref_kf, 0, K - 1)
     dist_ref = jnp.linalg.norm(m.pt_pos - cam_centers[ref_kf], axis=-1)
-    # Octave of the observation in the ref kf: find slot via argmax match.
-    pid = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
-    slot_match = m.kf_point[ref_kf] == pid[:, None]  # (P, N)
-    has_slot = jnp.any(slot_match, axis=-1)
-    slot = jnp.argmax(slot_match, axis=-1)
-    octave = m.kf_level[ref_kf, slot]
+    # Octave/descriptor of the observation in the ref kf, via ONE scatter
+    # over the forward index (an observation (k, n) of point p writes when
+    # k == pt_ref_kf[p]) — no (P, N) intermediate.
+    kf_ids2 = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
+    sel = ok & (kf_ids2 == m.pt_ref_kf[pts_safe])
+    sel_idx = jnp.where(sel, pts_safe, P).reshape(-1)
+    has_slot = (
+        jnp.zeros((P,), jnp.int32).at[sel_idx].max(1, mode="drop") > 0
+    )
+    octave = jnp.zeros((P,), jnp.int32).at[sel_idx].max(
+        jnp.broadcast_to(m.kf_level, (K, N)).reshape(-1), mode="drop"
+    )
     # Scale band from the ACTUAL pyramid (the reference uses the
     # extractor's mvScaleFactors / nLevels, MapPoint.cc:≈320); defaulting
     # to 8x1.2 when the caller predates the scale_factors argument.
@@ -212,8 +288,11 @@ def update_point_stats(m: MapState, scale_factors: jnp.ndarray = None) -> MapSta
     scale = scale_factors[jnp.clip(octave, 0, L - 1)]
     max_dist = dist_ref * scale
     min_dist = max_dist / scale_factors[L - 1]
-    # Latest-observation descriptor:
-    desc = m.kf_desc[ref_kf, slot]
+    # Ref-KF observation descriptor, same scatter (a point is bound at most
+    # once per keyframe row, so the elementwise max is the single value).
+    desc = jnp.zeros((P, 8), m.kf_desc.dtype).at[sel_idx].max(
+        m.kf_desc.reshape(-1, 8), mode="drop"
+    )
 
     upd = m.pt_valid & has_slot
     return m._replace(

@@ -71,6 +71,8 @@ class TrackCtx(NamedTuple):
     last_desc: jnp.ndarray      # (N, 8) uint32
     last_valid: jnp.ndarray     # (N,)
     only_tracking: jnp.ndarray  # bool: localization-only (mbOnlyTracking)
+    last_angle: jnp.ndarray     # (N,) last frame keypoint angles (rotation
+                                # -consistency histogram source)
 
 
 class TrackOut(NamedTuple):
@@ -111,9 +113,11 @@ def _fused_track(
             last_depth=ctx.last_depth if use_temp else None,
             last_desc=ctx.last_desc if use_temp else None,
             last_valid=ctx.last_valid if use_temp else None,
-            T_last=ctx.T_last if use_temp else None,
+            T_last=ctx.T_last,
             temp_depth_cap=th_depth,
             use_temp=ctx.only_tracking if use_temp else None,
+            last_angle=ctx.last_angle,
+            baseline=(cam.bf / cam.fx) if sensor != "mono" else None,
         )
         return (
             T, b, n_in.astype(jnp.int32), n_match.astype(jnp.int32),
@@ -247,6 +251,7 @@ def _fused_track(
         last_desc=frame.desc,
         last_valid=frame.valid,
         only_tracking=ctx.only_tracking,
+        last_angle=frame.angle,
     )
     return TrackOut(
         m=m, frame=frame, T_cw=T_out, bindings=bf,
@@ -265,6 +270,32 @@ class ChunkOut(NamedTuple):
     T_cr: jnp.ndarray     # (C, 4, 4) pose relative to the log ref KF
     log_ref: jnp.ndarray  # (C,) int32 ref-KF id for the trajectory entry
     kf_id: jnp.ndarray    # (C,) int32 created keyframe id, -1 if none
+
+
+# Compiled-tracker cache: a fresh Tracker/SlamSystem with the SAME
+# configuration must reuse the already-compiled fused programs — without
+# this, every reset()/re-construction recompiles the large chunk program
+# (~30-60 s on TPU), which is exactly what a production driver restarting
+# a sequence cannot afford.  Keyed by everything the trace depends on.
+_TRACKER_CACHE: dict = {}
+
+
+def _tracker_cache_key(kind, extractor, cam, scale_factors, inv_sigma2,
+                       sensor, th_depth, depth_map_factor, donate_map):
+    import numpy as _np
+
+    def b(v):
+        try:
+            return _np.asarray(v).tobytes()
+        except Exception:
+            return v
+
+    return (
+        kind, extractor.orb, extractor.tpu, extractor.cell,
+        tuple(b(v) for v in cam),
+        b(scale_factors), b(inv_sigma2),
+        sensor, float(th_depth), float(depth_map_factor), bool(donate_map),
+    )
 
 
 def make_fused_chunk_tracker(
@@ -298,6 +329,13 @@ def make_fused_chunk_tracker(
     (localization-only mode, Tracking::InformOnlyTracking).
     """
     from .tracking import add_points, insert_keyframe, unproject_frame_depth
+
+    key = _tracker_cache_key(
+        "chunk", extractor, cam, scale_factors, inv_sigma2, sensor,
+        th_depth, depth_map_factor, donate_map,
+    )
+    if key in _TRACKER_CACHE:
+        return _TRACKER_CACHE[key]
 
     def build_frame(xs):
         if sensor == "mono":
@@ -367,7 +405,9 @@ def make_fused_chunk_tracker(
         return ChunkOut(m, ctx, *ys)
 
     donate = (n_inputs,) if donate_map else ()
-    return jax.jit(chunk, donate_argnums=donate)
+    jitted = jax.jit(chunk, donate_argnums=donate)
+    _TRACKER_CACHE[key] = jitted
+    return jitted
 
 
 def make_fused_frame_tracker(
@@ -391,6 +431,13 @@ def make_fused_frame_tracker(
     (visibility counters) alias in place instead of copying the pools.
     Pass False when the caller reuses the same map across calls (bench).
     """
+    key = _tracker_cache_key(
+        "frame", extractor, cam, scale_factors, inv_sigma2, sensor,
+        th_depth, depth_map_factor, donate_map,
+    )
+    if key in _TRACKER_CACHE:
+        return _TRACKER_CACHE[key]
+
     if sensor == "mono":
 
         def step(image, m: ms.MapState, ctx: TrackCtx) -> TrackOut:
@@ -400,9 +447,9 @@ def make_fused_frame_tracker(
                 th_depth, sensor,
             )
 
-        return jax.jit(step, donate_argnums=(1,) if donate_map else ())
+        jitted = jax.jit(step, donate_argnums=(1,) if donate_map else ())
 
-    if sensor == "stereo":
+    elif sensor == "stereo":
 
         def step(image_l, image_r, m: ms.MapState, ctx: TrackCtx) -> TrackOut:
             frame = build_stereo_frame(
@@ -413,9 +460,9 @@ def make_fused_frame_tracker(
                 th_depth, sensor,
             )
 
-        return jax.jit(step, donate_argnums=(2,) if donate_map else ())
+        jitted = jax.jit(step, donate_argnums=(2,) if donate_map else ())
 
-    if sensor == "rgbd":
+    elif sensor == "rgbd":
 
         def step(image, depth_map, m: ms.MapState, ctx: TrackCtx) -> TrackOut:
             frame = build_rgbd_frame(
@@ -426,6 +473,10 @@ def make_fused_frame_tracker(
                 th_depth, sensor,
             )
 
-        return jax.jit(step, donate_argnums=(2,) if donate_map else ())
+        jitted = jax.jit(step, donate_argnums=(2,) if donate_map else ())
 
-    raise ValueError(f"unknown sensor {sensor!r}")
+    else:
+        raise ValueError(f"unknown sensor {sensor!r}")
+
+    _TRACKER_CACHE[key] = jitted
+    return jitted

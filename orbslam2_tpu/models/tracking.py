@@ -81,6 +81,8 @@ def track_motion_model(
     T_last: Optional[jnp.ndarray] = None,
     temp_depth_cap: float = 1e9,
     use_temp: Optional[jnp.ndarray] = None,
+    last_angle: Optional[jnp.ndarray] = None,
+    baseline: Optional[jnp.ndarray] = None,
 ):
     """Project last frame's map points with the predicted pose, match in a
     window, optimize pose.
@@ -131,10 +133,30 @@ def track_motion_model(
     )
     valid_src = valid_src & z_ok & in_image(cam, uv)
 
+    # Depth-direction octave gate (ORBmatcher.cc:≈1180): under forward
+    # motion a point reprojects LARGER (search higher octaves only), under
+    # backward motion smaller; gated on |tz| > baseline, stereo/RGB-D only.
+    level_dir = None
+    if baseline is not None and T_last is not None:
+        tz = (T_pred @ se3_inverse(T_last))[2, 3]
+        level_dir = jnp.where(
+            tz > baseline, jnp.int32(1),
+            jnp.where(-tz > baseline, jnp.int32(-1), jnp.int32(0)),
+        )
     mres = matcher.search_by_projection(
         uv, last_level, desc_src, valid_src, frame.features,
         scale_factors, radius=radius, max_dist=TH_HIGH, ratio=0.9,
+        level_dir=level_dir,
     )
+    if last_angle is not None:
+        # Rotation-consistency histogram (ComputeThreeMaxima,
+        # ORBmatcher.cc:≈1600) over source->target angle deltas.
+        from ..ops.hamming import rotation_consistency
+
+        rot_ok = rotation_consistency(
+            last_angle, frame.angle, mres.idx, mres.ok
+        )
+        mres = mres._replace(ok=rot_ok)
     # bindings: frame slot -> point id (scatter MAP match results; temp
     # sources never enter bindings — they must not reach the map).
     N = frame.xy.shape[0]
@@ -230,17 +252,36 @@ def gather_local_points(
     Tracking.cc:≈1190-1300), as fixed-size gathers.
 
     Returns (pt_ids (n_local,), valid (n_local,)).
+
+    Segment-op formulation (no (P, K) observation matrix): frame-bound
+    points become a (P,) membership mask; per-KF votes are one (K, N)
+    gather over the forward index; the local union is one scatter from the
+    selected keyframes' rows.  O(P + K*N) — flat in map size.
     """
-    # Votes: how many of the frame's bound points each KF observes.
-    B = ms.observation_matrix(m)  # (P, K)
     bound = bindings >= 0
-    pid = jnp.where(bound, bindings, 0)
+    pid = jnp.where(bound, bindings, m.pt_capacity)
+    in_frame = (
+        jnp.zeros((m.pt_capacity,), jnp.int32)
+        .at[pid].max(bound.astype(jnp.int32), mode="drop")
+    ) > 0
+    obs_ok = (
+        (m.kf_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    )
     votes = jnp.sum(
-        B[pid] * bound[:, None].astype(jnp.float32), axis=0
-    )  # (K,)
+        in_frame[jnp.where(obs_ok, m.kf_point, 0)] & obs_ok, axis=1
+    ).astype(jnp.float32)  # (K,)
     _, local_kfs = jax.lax.top_k(votes, n_local_kfs)
-    # Union of their points: score each point by whether any local KF sees it.
-    seen = jnp.sum(B[:, local_kfs], axis=1) > 0  # (P,)
+    # Union of their points (scatter from the selected rows only).
+    sel_pts = m.kf_point[local_kfs]
+    sel_ok = (
+        (sel_pts >= 0) & m.kf_kp_valid[local_kfs]
+        & m.kf_valid[local_kfs][:, None]
+    )
+    sel_idx = jnp.where(sel_ok, sel_pts, m.pt_capacity)
+    seen = (
+        jnp.zeros((m.pt_capacity,), jnp.int32)
+        .at[sel_idx.reshape(-1)].max(1, mode="drop")
+    ) > 0
     seen = seen & m.pt_valid
     # Fixed-size id list: top_k over the mask (arbitrary order within ties).
     score = seen.astype(jnp.float32)
@@ -639,6 +680,7 @@ class Tracker:
             last_desc=lf.desc,
             last_valid=lf.valid,
             only_tracking=jnp.asarray(self.localization_only),
+            last_angle=lf.angle,
         )
 
     def _track_fused(self, sensor: str, inputs):
@@ -1007,6 +1049,7 @@ class Tracker:
                     last_depth=frame.depth,
                     last_desc=frame.desc,
                     last_valid=frame.valid,
+                    last_angle=frame.angle,
                     ref_kf=jnp.int32(self.ref_kf),
                 )
 
@@ -1049,9 +1092,13 @@ class Tracker:
                 last_depth=None if not use_temp else lf.depth,
                 last_desc=None if not use_temp else lf.desc,
                 last_valid=None if not use_temp else lf.valid,
-                T_last=None if not use_temp else jnp.asarray(
-                    self.last_T, jnp.float32),
+                T_last=jnp.asarray(self.last_T, jnp.float32),
                 temp_depth_cap=self._th_depth(),
+                last_angle=lf.angle,
+                baseline=(
+                    None if sensor == "mono"
+                    else jnp.float32(self.cam.bf / self.cam.fx)
+                ),
             )
             T, bindings, n_in, n_match, n_tot = track_motion_model(
                 self.map, frame, T_pred, self.last_frame.xy,
@@ -1328,11 +1375,17 @@ class Tracker:
         cands = self.database.detect_relocalization_candidates(
             self.map, frame.desc, frame.valid
         )
+        frame_nodes = (
+            self.database.frame_nodes(frame.desc, frame.valid)
+            if len(cands) else None
+        )
         for c in cands:
             self.init_key, sub = jax.random.split(self.init_key)
+            kf_nodes = self.database.nodes_for(int(c))
             T, bindings, n_in, n_match, pnp_ok = relocalize_candidate(
                 self.map, frame, jnp.int32(int(c)), self.inv_sigma2,
                 self.cam, sub,
+                kf_nodes=kf_nodes, frame_nodes=frame_nodes,
             )
             if not bool(pnp_ok) or int(n_in) < 10:
                 continue
@@ -1588,19 +1641,29 @@ def relocalize_candidate(
     inv_sigma2_lut: jnp.ndarray,
     cam: CameraModel,
     key: jnp.ndarray,
+    kf_nodes: Optional[jnp.ndarray] = None,
+    frame_nodes: Optional[jnp.ndarray] = None,
 ):
     """One relocalization attempt against a candidate keyframe: match the
-    frame's descriptors to the keyframe's bound map points, batched PnP
-    RANSAC, then the shared LM pose polish.  Returns (T, bindings, n_in)."""
+    frame's descriptors to the keyframe's bound map points (node-gated
+    SearchByBoW when vocabulary node ids are provided — candidate pairs
+    restricted to the same DBoW2 FeatureVector node, ORBmatcher.cc:≈250),
+    batched PnP RANSAC, then the shared LM pose polish."""
     from ..ops.pnp import pnp_ransac
 
     kf_pts = m.kf_point[kf_id]
     kf_has = (kf_pts >= 0) & m.kf_kp_valid[kf_id]
     pid = jnp.where(kf_has, kf_pts, 0)
     src_ok = kf_has & m.pt_valid[pid]
+    pair_mask = None
+    if kf_nodes is not None and frame_nodes is not None:
+        pair_mask = (
+            (kf_nodes[:, None] == frame_nodes[None, :])
+            & (kf_nodes[:, None] >= 0)
+        )
     mres = match_descriptors(
         m.kf_desc[kf_id], src_ok, frame.desc, frame.valid,
-        max_dist=TH_LOW, ratio=0.75, cross_check=True,
+        pair_mask=pair_mask, max_dist=TH_LOW, ratio=0.75, cross_check=True,
     )
     # 2D-3D correspondences: frame keypoint <- map point.
     bindings = jnp.full(frame.xy.shape[0], NO_POINT, jnp.int32)

@@ -49,13 +49,19 @@ def projection_match(
     level_band: int,
     max_dist: int,
     ratio: float,
+    level_dir: Optional[jnp.ndarray] = None,
 ) -> Matches:
     """The SearchByProjection core shared by the tracking hot paths:
     nearest+second Hamming neighbor inside a per-source circular window and
     octave band.  Default: the XLA composition (masked_best2 over the
     Hamming matrix).  An equivalent single-pass Pallas kernel
     (ops/pallas_kernels.projection_best2_pallas) exists behind
-    USE_PALLAS_PROJECTION_MATCH — see the note below."""
+    USE_PALLAS_PROJECTION_MATCH — see the note below.
+
+    ``level_dir`` (traced int scalar) selects the motion-model octave gate
+    of ORBmatcher::SearchByProjection(cur, last) (src/ORBmatcher.cc:≈1180):
+    +1 = forward motion (target octave >= source), -1 = backward (<=),
+    0/None = symmetric +-level_band."""
     na, nb = proj_desc.shape[0], frame_desc.shape[0]
     # The fused Pallas path is measured NET-SLOWER inside the big fused
     # tracking program on v5e (7.0 vs 6.6 ms/frame): XLA already fuses the
@@ -64,6 +70,7 @@ def projection_match(
     # opt-in (parity-tested) for topologies where HBM is the bottleneck.
     use_pallas = (
         USE_PALLAS_PROJECTION_MATCH
+        and level_dir is None
         and jax.default_backend() not in ("cpu",)
         and na % 128 == 0 and nb % 128 == 0
     )
@@ -86,10 +93,16 @@ def projection_match(
         d2 = jnp.sum(
             (proj_uv[:, None, :] - frame_xy[None, :, :]) ** 2, axis=-1
         )
+        dl = frame_level[None, :] - proj_level[:, None]
+        band_ok = jnp.abs(dl) <= level_band
+        if level_dir is not None:
+            band_ok = jnp.where(
+                level_dir > 0, dl >= 0,
+                jnp.where(level_dir < 0, dl <= 0, band_ok),
+            )
         mask = (
             (d2 <= rr2[:, None])
-            & (jnp.abs(frame_level[None, :] - proj_level[:, None])
-               <= level_band)
+            & band_ok
             & proj_valid[:, None]
             & frame_valid[None, :]
         )
@@ -155,6 +168,7 @@ def search_by_projection(
     level_band: int = 1,
     proj_angle: Optional[jnp.ndarray] = None,
     check_rotation: bool = False,
+    level_dir: Optional[jnp.ndarray] = None,
 ) -> Matches:
     """Projection-guided matching — the workhorse of tracking
     (ORBmatcher::SearchByProjection overloads, src/ORBmatcher.cc:≈55/≈1180).
@@ -179,6 +193,7 @@ def search_by_projection(
         proj_uv, r * r, proj_level, proj_desc, proj_valid,
         frame.xy, frame.level, frame.desc, frame.valid,
         level_band=level_band, max_dist=max_dist, ratio=ratio,
+        level_dir=level_dir,
     )
     if check_rotation and proj_angle is not None:
         ok = rotation_consistency(proj_angle, frame.angle, m.idx, m.ok)

@@ -29,9 +29,22 @@ _PATCH = 5     # half patch size (11x11)
 _SWEEP = 5     # +-5 px disparity sweep
 
 
-def _gather_patch(img, x, y, half):
-    return jax.lax.dynamic_slice(
-        img, (y - half, x - half), (2 * half + 1, 2 * half + 1)
+def _bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img at float (y, x) grids (clamped)."""
+    h, w = img.shape
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    fy = y - y0
+    fx = x - x0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx) + v11 * fy * fx
     )
 
 
@@ -42,34 +55,35 @@ def _subpixel_refine(
     xl: jnp.ndarray,
     yl: jnp.ndarray,
     xr0: jnp.ndarray,
+    step: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Per-keypoint sub-pixel right-u via SAD sweep + parabola.
+    """Per-keypoint sub-pixel right-u via SAD sweep + parabola, AT THE
+    KEYPOINT'S PYRAMID SCALE (the reference refines on the keypoint's
+    octave image, src/Frame.cc:≈540): patch sample spacing and sweep step
+    are the octave's scale factor, so a level-L keypoint is refined over a
+    level-L-sized window with level-L disparity resolution, via bilinear
+    sampling of the level-0 image.
 
-    xl/yl: int32 left keypoint position; xr0: int32 initial right u.
+    xl/yl/xr0: float32 positions; step: (N,) per-keypoint octave scale.
     Returns float32 refined right u.
     """
-    h, w = img_left.shape
+    offs = jnp.arange(-_PATCH, _PATCH + 1, dtype=jnp.float32)
 
-    def one(xli, yli, xri):
-        xli = jnp.clip(xli, _PATCH, w - _PATCH - 1)
-        yli = jnp.clip(yli, _PATCH, h - _PATCH - 1)
-        xri = jnp.clip(xri, _PATCH + _SWEEP, w - _PATCH - _SWEEP - 1)
-        pl = _gather_patch(img_left, xli, yli, _PATCH)
-        pl = pl - pl[_PATCH, _PATCH]  # center-normalized like the reference
-        wide = jax.lax.dynamic_slice(
-            img_right,
-            (yli - _PATCH, xri - _PATCH - _SWEEP),
-            (2 * _PATCH + 1, 2 * (_PATCH + _SWEEP) + 1),
+    def one(xli, yli, xri, s):
+        gy = yli + offs * s                       # (11,)
+        pl = _bilinear(
+            img_left, gy[:, None], (xli + offs * s)[None, :]
         )
+        pl = pl - pl[_PATCH, _PATCH]  # center-normalized like the reference
 
         def sad(o):
-            pr = jax.lax.dynamic_slice(
-                wide, (0, o), (2 * _PATCH + 1, 2 * _PATCH + 1)
-            )
+            gx = xri + o * s + offs * s
+            pr = _bilinear(img_right, gy[:, None], gx[None, :])
             pr = pr - pr[_PATCH, _PATCH]
             return jnp.sum(jnp.abs(pl - pr))
 
-        sads = jax.vmap(sad)(jnp.arange(2 * _SWEEP + 1))
+        sweeps = jnp.arange(-_SWEEP, _SWEEP + 1, dtype=jnp.float32)
+        sads = jax.vmap(sad)(sweeps)
         best = jnp.argmin(sads)
         # Parabola fit around the minimum (clamped to the interior).
         bi = jnp.clip(best, 1, 2 * _SWEEP - 1)
@@ -79,9 +93,9 @@ def _subpixel_refine(
             jnp.abs(denom) > 1e-6, 0.5 * (s0 - s2) / denom, 0.0
         )
         delta = jnp.clip(delta, -1.0, 1.0)
-        return xri.astype(jnp.float32) + (bi - _SWEEP).astype(jnp.float32) + delta
+        return xri + (sweeps[bi] + delta) * s
 
-    return jax.vmap(one)(xl, yl, xr0)
+    return jax.vmap(one)(xl, yl, xr0, step)
 
 
 @jax.jit
@@ -117,12 +131,14 @@ def compute_stereo_matches(
     xr0 = jnp.take_along_axis(
         right.xy[:, 0][None, :].repeat(left.xy.shape[0], 0), m.idx[:, None], 1
     )[:, 0]
+    step = scale_factors[jnp.clip(left.level, 0, scale_factors.shape[0] - 1)]
     ur = _subpixel_refine(
         image_left.astype(jnp.float32),
         image_right.astype(jnp.float32),
-        jnp.round(left.xy[:, 0]).astype(jnp.int32),
-        jnp.round(left.xy[:, 1]).astype(jnp.int32),
-        jnp.round(xr0).astype(jnp.int32),
+        left.xy[:, 0],
+        left.xy[:, 1],
+        xr0,
+        step,
     )
     matched_disp = left.xy[:, 0] - ur
     ok = m.ok & (matched_disp > min_disp) & (matched_disp <= bf)

@@ -38,8 +38,7 @@ def _gather_problem(m: ms.MapState, kf_id, n_local: int, n_fixed: int):
 
     Returns (cam_ids (C,), is_fixed (C,), cam_used (C,)).
     """
-    W = ms.covisibility(m)
-    row = W[kf_id]
+    row = ms.covisible_row(m, kf_id)
     _, order = jax.lax.top_k(row, n_local + n_fixed - 1)
     cam_ids = jnp.concatenate([kf_id[None], order[: n_local - 1],
                                order[n_local - 1 :]])

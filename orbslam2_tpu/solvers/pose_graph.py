@@ -53,12 +53,20 @@ def edges_from_map(
     loop_valid: jnp.ndarray,
     min_covis_weight: int = 100,
     corrected_S_cw: jnp.ndarray | None = None,
+    max_covis_per_node: int = 16,
 ) -> PoseGraphEdges:
     """Build the essential-graph edge set.
 
     Measurements for tree/covisibility edges come from CURRENT relative
     poses (the reference computes them from the poses at correction time);
     loop edges carry their own Sim3 measurements.
+
+    Covisibility edges are each node's TOP-``max_covis_per_node`` neighbors
+    with weight >= min_covis_weight — E stays O(K), not the K^2/2 triangle
+    (the reference's essential graph is equally sparse: >=100-shared-point
+    pairs are a node's strongest few neighbors).  A pair strong in both
+    directions appears twice; duplicate consistent constraints only
+    re-weight, as in the reference's insertion set.
     """
     K = kf_pose_cw.shape[0]
     S_cw = sim3_of_se3(kf_pose_cw)
@@ -70,12 +78,17 @@ def edges_from_map(
     tree_i = jnp.maximum(parent, 0)
     tree_j = child
 
-    # Covisibility edges with weight >= min (upper triangle).
-    covis_mask = (covis >= min_covis_weight) & kf_valid[:, None] & kf_valid[None, :]
-    iu = jnp.triu_indices(K, k=1)
-    cov_i = iu[0].astype(jnp.int32)
-    cov_j = iu[1].astype(jnp.int32)
-    cov_ok = covis_mask[cov_i, cov_j]
+    # Covisibility edges: per-node top-k with weight >= min.
+    kk = min(max_covis_per_node, K)
+    w_top, nbr = jax.lax.top_k(covis, kk)                   # (K, kk)
+    cov_i = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, kk)
+    ).reshape(-1)
+    cov_j = nbr.astype(jnp.int32).reshape(-1)
+    cov_ok = (
+        (w_top.reshape(-1) >= min_covis_weight)
+        & kf_valid[cov_i] & kf_valid[cov_j] & (cov_i != cov_j)
+    )
 
     def rel(Si, Sj):
         # S_ji = S_j * S_i^-1
@@ -89,8 +102,6 @@ def edges_from_map(
     S_all = jnp.concatenate([S_tree, S_cov, loop_S_ji])
     v_all = jnp.concatenate([tree_ok, cov_ok, loop_valid])
     w_all = jnp.ones_like(v_all, jnp.float32)
-    # De-duplicate tree/covis overlap is unnecessary: duplicate consistent
-    # constraints only re-weight, as in the reference's insertion set.
     return PoseGraphEdges(i=i_all, j=j_all, S_ji=S_all, weight=w_all, valid=v_all)
 
 
@@ -146,6 +157,12 @@ def optimize_essential_graph(
     )
     free = kf_valid & ~fixed_mask & (degree > 0)
 
+    # Beyond this, the dense (7K, 7K) assemble + Cholesky is replaced by a
+    # matrix-free block-Jacobi-preconditioned CG (the reference's g2o uses
+    # sparse Cholesky here; PCG with edge-local matvecs is the TPU-shaped
+    # sparse solver — O(E) per matvec, no K^2 memory).
+    use_cg = K * 7 > 4096
+
     def body(_, carry):
         xi, lam = carry
         r = edge_residuals(xi)  # (E, 7)
@@ -168,36 +185,70 @@ def optimize_essential_graph(
             in_axes=(0, 0, 0, 0, 0),
         )(xi[ei], xi[ej], S0[ei], S0[ej], edges.S_ji)
 
-        # Assemble H (7K, 7K) and b (7K,) by scatter-add.
-        H = jnp.zeros((K, 7, K, 7))
-        b = jnp.zeros((K, 7))
         wJe_i = J_i * w_e[:, None, None]
         wJe_j = J_j * w_e[:, None, None]
-        H = H.at[ei, :, ei, :].add(jnp.einsum("eri,erj->eij", J_i, wJe_i))
-        H = H.at[ej, :, ej, :].add(jnp.einsum("eri,erj->eij", J_j, wJe_j))
-        H = H.at[ei, :, ej, :].add(jnp.einsum("eri,erj->eij", J_i, wJe_j))
-        H = H.at[ej, :, ei, :].add(jnp.einsum("eri,erj->eij", J_j, wJe_i))
+        b = jnp.zeros((K, 7))
         b = b.at[ei].add(jnp.einsum("eri,er->ei", wJe_i, r))
         b = b.at[ej].add(jnp.einsum("eri,er->ei", wJe_j, r))
 
-        Hd = H.reshape(K * 7, K * 7)
-        bd = b.reshape(-1)
-        free7 = jnp.repeat(free, 7)
+        free_dims = free[:, None] & jnp.ones((1, 7), bool)
         if fix_scale:
             # Pin every scale dimension explicitly — its Hessian row is
             # ~zero (residuals don't depend on it) and would make the
-            # dense solve near-singular, polluting all other dims.
-            is_scale = (
-                jnp.arange(K * 7) % 7 == 6
-            )
-            free7 = free7 & ~is_scale
-        diag = jnp.maximum(jnp.diag(Hd), 1e-6)
-        Hd = Hd + jnp.diag(lam * diag)
-        Hd = jnp.where(free7[:, None] & free7[None, :], Hd, 0.0)
-        Hd = Hd + jnp.diag(jnp.where(free7, 0.0, 1.0))
-        bd = jnp.where(free7, bd, 0.0)
+            # solve near-singular, polluting all other dims.
+            free_dims = free_dims & (jnp.arange(7) != 6)[None, :]
 
-        dx = -jnp.linalg.solve(Hd, bd).reshape(K, 7)
+        # Block-diagonal of H (used by both paths: damping + preconditioner).
+        H_diag = jnp.zeros((K, 7, 7))
+        H_diag = H_diag.at[ei].add(jnp.einsum("eri,erj->eij", J_i, wJe_i))
+        H_diag = H_diag.at[ej].add(jnp.einsum("eri,erj->eij", J_j, wJe_j))
+        d_elem = jnp.maximum(
+            jnp.diagonal(H_diag, axis1=-2, axis2=-1), 1e-6
+        )  # (K, 7)
+
+        if not use_cg:
+            H = jnp.zeros((K, 7, K, 7))
+            H = H.at[ei, :, ei, :].add(jnp.einsum("eri,erj->eij", J_i, wJe_i))
+            H = H.at[ej, :, ej, :].add(jnp.einsum("eri,erj->eij", J_j, wJe_j))
+            H = H.at[ei, :, ej, :].add(jnp.einsum("eri,erj->eij", J_i, wJe_j))
+            H = H.at[ej, :, ei, :].add(jnp.einsum("eri,erj->eij", J_j, wJe_i))
+            Hd = H.reshape(K * 7, K * 7)
+            bd = b.reshape(-1)
+            free7 = free_dims.reshape(-1)
+            Hd = Hd + jnp.diag((lam * d_elem).reshape(-1))
+            Hd = jnp.where(free7[:, None] & free7[None, :], Hd, 0.0)
+            Hd = Hd + jnp.diag(jnp.where(free7, 0.0, 1.0))
+            bd = jnp.where(free7, bd, 0.0)
+            dx = -jnp.linalg.solve(Hd, bd).reshape(K, 7)
+        else:
+            bm = jnp.where(free_dims, b, 0.0)
+
+            def matvec(x):
+                x = jnp.where(free_dims, x, 0.0)
+                y = (
+                    jnp.einsum("erc,ec->er", J_i, x[ei])
+                    + jnp.einsum("erc,ec->er", J_j, x[ej])
+                ) * w_e[:, None]
+                out = jnp.zeros_like(x)
+                out = out.at[ei].add(jnp.einsum("erc,er->ec", J_i, y))
+                out = out.at[ej].add(jnp.einsum("erc,er->ec", J_j, y))
+                out = out + lam * d_elem * x
+                return jnp.where(free_dims, out, x)
+
+            # Block-Jacobi preconditioner: damped 7x7 block inverses.
+            M = H_diag + jax.vmap(jnp.diag)(lam * d_elem + 1e-6)
+            M_inv = jnp.linalg.inv(M)
+
+            def precond(x):
+                return jnp.where(
+                    free_dims, jnp.einsum("kij,kj->ki", M_inv, x), x
+                )
+
+            dx_neg, _ = jax.scipy.sparse.linalg.cg(
+                matvec, bm, M=precond, maxiter=100, tol=1e-6
+            )
+            dx = -jnp.where(free_dims, dx_neg, 0.0)
+
         xi_new = xi + dx
         accept = total_err(xi_new) < total_err(xi)
         xi = jnp.where(accept, xi_new, xi)

@@ -369,6 +369,67 @@ class TestFuse:
         assert np.mean(bound[idx] == idx) > 0.95
 
 
+class TestGroupedCandidateScoring:
+    def test_aliased_candidate_rejected_by_group_accumulation(self, rng):
+        """KeyFrameDatabase.cc:≈90-200 parity: a lone perceptually-aliased
+        keyframe scores as high as the true revisit on raw L1, but the true
+        revisit is corroborated by its covisible group's scores and the
+        alias is not — the accumulated-score 0.75 cut must keep the true
+        group's winner and drop the alias."""
+        import jax.numpy as jnp
+
+        from orbslam2_tpu.models import map_state as ms2
+        from orbslam2_tpu.models.kf_database import KeyframeDatabase
+        from orbslam2_tpu.models.system import _default_vocabulary
+
+        vocab = _default_vocabulary()
+        K, N, P = 16, 64, 1024
+        db = KeyframeDatabase(vocab, K, feat_capacity=N)
+        m = ms2.make_empty_map(K, P, N)
+
+        q_desc = rand_desc(rng, N)          # query appearance
+        near = q_desc.copy()
+        # True-revisit neighborhood: mostly-shared words (they must pass the
+        # 0.8*maxCommonWords gate, as real co-observing keyframes do).
+        near[: N // 8] = rand_desc(rng, N // 8)
+        other = rand_desc(rng, N)                 # unrelated scenery
+
+        descs = {2: q_desc.copy(), 1: near.copy(), 3: near.copy(), 7: q_desc.copy()}
+        # Alias KF7's neighbors look nothing like the query.
+        for k in range(12):
+            d = descs.get(k, other.copy() if k in (6, 8) else rand_desc(rng, N))
+            valid = jnp.ones(N, bool)
+            db.add_keyframe(k, jnp.asarray(d), valid)
+            m = m._replace(
+                kf_desc=m.kf_desc.at[k].set(jnp.asarray(d)),
+                kf_kp_valid=m.kf_kp_valid.at[k].set(True),
+                kf_valid=m.kf_valid.at[k].set(True),
+            )
+        # Covisibility: chain neighbors share points (1-2-3 and 6-7-8).
+        kf_point = np.full((K, N), -1, np.int64)
+        for a, b, base in ((1, 2, 0), (2, 3, 40), (6, 7, 200), (7, 8, 240)):
+            ids = np.arange(base, base + 30)
+            kf_point[a, 0:30] = ids
+            kf_point[b, 30:60] = ids
+        pt_valid = np.zeros(P, bool)
+        pt_valid[np.unique(kf_point[kf_point >= 0])] = True
+        m = m._replace(
+            kf_point=jnp.asarray(kf_point, jnp.int32),
+            pt_valid=jnp.asarray(pt_valid),
+            n_kf=jnp.int32(12),
+        )
+        # Raw top-k would admit the alias: its L1 score equals KF2's.
+        scores = np.asarray(db._scores(jnp.asarray(q_desc), jnp.ones(N, bool)))
+        assert scores[7] >= 0.95 * scores[2], (scores[2], scores[7])
+
+        ids = db.detect_relocalization_candidates(
+            m, jnp.asarray(q_desc), jnp.ones(N, bool), n_candidates=2
+        )
+        assert len(ids) >= 1
+        assert ids[0] == 2, f"true revisit must rank first, got {ids}"
+        assert 7 not in ids.tolist(), f"aliased KF admitted: {ids}"
+
+
 class TestSparseDatabase:
     def test_sparse_database_matches_dense(self, rng):
         """A sparse-mode KeyframeDatabase must return the same scores and
