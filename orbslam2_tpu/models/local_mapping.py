@@ -317,7 +317,8 @@ class LocalMapper:
 
     def __init__(self, settings: Settings, enable_ba: bool = True,
                  enable_kf_culling: bool = True, enable_fuse: bool = True,
-                 sensor: str = "mono", n_fuse_neighbors: int = 2):
+                 sensor: str = "mono", n_fuse_neighbors: int = 2,
+                 mesh=None):
         # enable_fuse: SearchInNeighbors duplicate fusion (LocalMapping.cc:
         # ≈370), ON by default with the reference's full Fuse semantics:
         # per-observation chi2 gate + best-observed MapPoint::Replace
@@ -337,17 +338,28 @@ class LocalMapper:
         self.enable_ba = enable_ba
         self.enable_kf_culling = enable_kf_culling
         self.enable_fuse = enable_fuse
+        # mesh: a jax.sharding.Mesh with >1 device dispatches local BA to
+        # the keyframe-sharded distributed solver (parallel/dist_ba.py) —
+        # same Schur LM engine, landmark blocks psum-reduced over ICI.
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
         # Mono needs a wider triangulation neighborhood for parallax (the
         # reference uses 20 covisible neighbors mono vs 10 stereo/RGB-D,
         # LocalMapping.cc:≈190); scaled to our smaller local windows.
         self.n_tri_neighbors = 8 if sensor == "mono" else 4
 
+    def _local_ba(self, m: ms.MapState, kf_id) -> ms.MapState:
+        if self.mesh is not None:
+            from ..parallel.dist_ba import distributed_local_ba
+
+            return distributed_local_ba(
+                m, kf_id, self.mesh, self.cam, self.inv_sigma2,
+            )
+        return local_bundle_adjustment(m, kf_id, self.cam, self.inv_sigma2)
+
     def on_initial_map(self, m: ms.MapState) -> ms.MapState:
         """Post-initialization polish (the reference runs GBA(20) here)."""
         if self.enable_ba:
-            m = local_bundle_adjustment(
-                m, jnp.int32(1), self.cam, self.inv_sigma2,
-            )
+            m = self._local_ba(m, jnp.int32(1))
             m = ms.update_point_stats(m, self.scale_factors)
         return m
 
@@ -373,7 +385,7 @@ class LocalMapper:
                 )
         m = ms.update_point_stats(m, self.scale_factors)
         if self.enable_ba:
-            m = local_bundle_adjustment(m, kf, self.cam, self.inv_sigma2)
+            m = self._local_ba(m, kf)
             m = ms.update_point_stats(m, self.scale_factors)
         if self.enable_kf_culling:
             m = cull_keyframes(m, kf)

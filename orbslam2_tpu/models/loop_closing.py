@@ -49,6 +49,32 @@ from .kf_database import KeyframeDatabase
 CHI2_LOOP_REFINE = 10.0
 
 
+def loop_edge_residuals(T_cw: np.ndarray, loop_edges) -> list:
+    """Per-loop-edge (translation, angle-deg) constraint residuals of the
+    current keyframe poses against the verified Sim3 measurements."""
+    out = []
+    for (ki, kj, S_ji) in loop_edges:
+        rel = T_cw[kj] @ np.linalg.inv(T_cw[ki])
+        D = rel @ np.linalg.inv(np.asarray(S_ji))
+        s = np.cbrt(max(np.linalg.det(D[:3, :3]), 1e-12))
+        dt = float(np.linalg.norm(D[:3, 3]))
+        ang = float(np.degrees(np.arccos(np.clip(
+            (np.trace(D[:3, :3] / s) - 1.0) / 2.0, -1.0, 1.0))))
+        out.append((dt, ang))
+    return out
+
+
+def loop_edges_still_closed(before: list, after: list) -> bool:
+    """GBA acceptance guard: a healthy map's BA optimum agrees with the
+    verified loop edges, so their residuals stay put (movement ~ noise);
+    clear multiplicative growth means BA is relaxing the trajectory back
+    toward pre-loop drift and the result must be rejected."""
+    for (dt0, a0), (dt1, a1) in zip(before, after):
+        if dt1 > 1.25 * dt0 + 0.005 or a1 > 1.25 * a0 + 0.1:
+            return False
+    return True
+
+
 class LoopCloser:
     def __init__(
         self,
@@ -57,6 +83,7 @@ class LoopCloser:
         fix_scale: bool,
         enable_gba: bool = True,
         gba_mode: str = "alternation",
+        mesh=None,
     ):
         # enable_gba: run the global-refinement stage after the essential
         # graph (the reference's background GBA, LoopClosing.cc:≈530).  On
@@ -66,14 +93,21 @@ class LoopCloser:
         # gba_mode: "alternation" (default) = resection/intersection
         # block-coordinate descent (O(K + P) memory, any scale); "joint" =
         # one Schur LM problem over the whole active map (the reference's
-        # g2o BundleAdjustment shape, to a few hundred KFs).  Measured on
-        # the drifted-circle loop fixture (local BA off to amplify drift):
-        # ATE no-GBA 0.105, alternation 0.092 (net-positive), joint 0.156 —
-        # joint converges far enough to re-weight drift-consistent
-        # observations against the seam, alternation's bounded block steps
-        # polish within the corrected basin.
+        # g2o BundleAdjustment shape, to a few hundred KFs).  Either mode's
+        # result is accepted only if it keeps the verified loop edges
+        # closed (loop_edges_still_closed): on a map whose observation
+        # graph still encodes pre-loop drift (e.g. mapping ran degraded),
+        # BA's optimum re-opens the seam and the segment is rejected, so
+        # enabling GBA by default is safe even there (measured on the
+        # drifted-circle fixture: destructive segments rejected, final ATE
+        # equals the pose-graph-only 0.06 vs 0.13 if accepted).
         self.enable_gba = enable_gba
         self.gba_mode = gba_mode
+        # mesh: >1 device dispatches the joint GBA and the essential-graph
+        # solve to the mesh-sharded solvers (parallel/dist_ba.py,
+        # parallel/dist_pose_graph.py) — collectives over ICI instead of
+        # the reference's single-threaded g2o under the map mutex.
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
         self.settings = settings
         self.cam = settings.camera_model()
         self.db = database
@@ -95,6 +129,7 @@ class LoopCloser:
         self.last_loop_kf = -100
         # Accepted loop edges for the essential graph.
         self.loop_edges: List[Tuple[int, int, np.ndarray]] = []
+        self.metrics: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -343,10 +378,18 @@ class LoopCloser:
             min_covis_weight=100,
         )
         fixed = jnp.zeros(m.kf_capacity, bool).at[kf_l].set(True)
-        T_new, scales = pg.optimize_essential_graph(
-            T_old_all, m.kf_valid, edges, fixed,
-            init_S_cw=init_S, iters=20, fix_scale=self.fix_scale,
-        )
+        if self.mesh is not None:
+            from ..parallel.dist_pose_graph import make_distributed_pose_graph
+
+            run = make_distributed_pose_graph(
+                self.mesh, iters=20, fix_scale=self.fix_scale,
+            )
+            T_new, scales = run(init_S, m.kf_valid, edges, fixed)
+        else:
+            T_new, scales = pg.optimize_essential_graph(
+                T_old_all, m.kf_valid, edges, fixed,
+                init_S_cw=init_S, iters=20, fix_scale=self.fix_scale,
+            )
 
         # Correct every map point by its reference keyframe's old->new
         # similarity (Optimizer.cc:≈1050).
@@ -397,33 +440,75 @@ class LoopCloser:
         the reference's mbStopGBA flag polled between g2o iterations
         (LoopClosing::RunGlobalBundleAdjustment, ≈530): when tracking needs
         the map urgently the polish yields early, keeping whatever
-        improvement the finished segments bought."""
+        improvement the finished segments bought.
+
+        Loop-constraint guard (no reference analog — its GBA assumes the
+        continuously-BA-cleaned map, where BA's optimum agrees with the
+        loop): each segment's result is accepted only if it KEEPS every
+        verified loop edge closed.  A map whose observation graph still
+        encodes pre-loop drift (e.g. mapping ran degraded) has a BA optimum
+        that re-opens the seam; accepting it would undo the pose-graph
+        correction, so the segment is rejected and GBA stops — the
+        independently verified Sim3 (>=40 projections + odometry gate)
+        outranks a least-squares fit of drift-consistent associations."""
         abort = getattr(self, "_abort", None)
 
         def aborted():
             return abort is not None and abort.is_set()
+
+        def seam_residuals(mm):
+            return loop_edge_residuals(np.asarray(mm.kf_pose_cw),
+                                       self.loop_edges)
+
+        seam_ok = loop_edges_still_closed
+        res0 = seam_residuals(m)
 
         if self.gba_mode == "joint":
             from ..solvers.global_ba import run_joint_global_ba
 
             ran = False
             # (5 robust, then 2x5 plain) = the reference's schedule, cut in
-            # abortable segments; chi2 pruning happens at each phase end.
-            for seg in ((5, 0), (0, 5), (0, 5)):
+            # abortable segments; chi2 pruning happens at each phase end and
+            # PERSISTS (outlier observations are unbound), so later segments
+            # never re-admit associations an earlier segment rejected.  The
+            # first segment also applies a loose initial gate (6x chi2) that
+            # drops gross wrong associations before any iteration.
+            for k, seg in enumerate(((5, 0), (0, 5), (0, 5))):
                 if aborted():
                     return m
-                m2 = run_joint_global_ba(
-                    m, self.cam, self.inv_sigma2, phase_iters=seg
-                )
+                if self.mesh is not None:
+                    from ..parallel.dist_ba import distributed_joint_global_ba
+
+                    m2 = distributed_joint_global_ba(
+                        m, self.mesh, self.cam, self.inv_sigma2,
+                        phase_iters=seg,
+                        initial_prune=6.0 if k == 0 else 0.0,
+                    )
+                else:
+                    m2 = run_joint_global_ba(
+                        m, self.cam, self.inv_sigma2, phase_iters=seg,
+                        initial_prune=6.0 if k == 0 else 0.0,
+                    )
                 if m2 is m:  # map exceeds max_cams: joint not applicable
                     break
+                if not seam_ok(res0, seam_residuals(m2)):
+                    self.metrics["gba_rejected_segments"] = (
+                        self.metrics.get("gba_rejected_segments", 0) + 1
+                    )
+                    return m
                 m, ran = m2, True
             if ran:
                 return m
         for _ in range(3):
             if aborted():
                 return m
-            m = global_bundle_adjustment(m, self.cam, self.inv_sigma2, rounds=2)
+            m2 = global_bundle_adjustment(m, self.cam, self.inv_sigma2, rounds=2)
+            if not seam_ok(res0, seam_residuals(m2)):
+                self.metrics["gba_rejected_segments"] = (
+                    self.metrics.get("gba_rejected_segments", 0) + 1
+                )
+                return m
+            m = m2
         return m
 
 

@@ -57,6 +57,7 @@ class SlamSystem:
         chunk: int = 0,
         async_mapping: bool = False,
         mapping_device=None,
+        mesh=None,
     ):
         """``async_mapping``: run local mapping + loop closing in a worker
         thread on map snapshots (the reference's LocalMapping/LoopClosing
@@ -65,14 +66,22 @@ class SlamSystem:
         device (pipeline parallelism across chips).  Off by default because
         adoption timing is wall-clock dependent — the reference is equally
         nondeterministic (SURVEY.md §4); tests that assert bitwise
-        determinism use the synchronous mode."""
+        determinism use the synchronous mode.
+
+        ``mesh``: a multi-device ``jax.sharding.Mesh`` dispatches the map
+        optimizers (local BA, joint GBA, essential graph) to the
+        keyframe-/edge-sharded collective solvers in ``parallel/`` — the
+        capability the reference has no analog for (single process,
+        shared memory; SURVEY.md §2.5)."""
         from .kf_database import KeyframeDatabase
         from .loop_closing import LoopCloser
 
         self.settings = settings
         self.sensor = sensor
+        self.mesh = mesh
         self.local_mapper = (
-            LocalMapper(settings, sensor=sensor) if enable_mapping else None
+            LocalMapper(settings, sensor=sensor, mesh=mesh)
+            if enable_mapping else None
         )
         self.vocabulary = (
             vocabulary if vocabulary is not None else _default_vocabulary()
@@ -83,7 +92,8 @@ class SlamSystem:
         # Scale is observable (fixed) for stereo/RGB-D (System.cc:≈95's
         # bFixScale wiring).
         self.loop_closer = (
-            LoopCloser(settings, self.database, fix_scale=(sensor != Sensor.MONOCULAR))
+            LoopCloser(settings, self.database,
+                       fix_scale=(sensor != Sensor.MONOCULAR), mesh=mesh)
             if enable_loop_closing
             else None
         )

@@ -185,3 +185,196 @@ def _blockdiag(blocks: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(C)
     out = out.at[idx, :, idx, :].set(blocks)
     return out.reshape(C * 6, C * 6)
+
+
+# ---------------------------------------------------------------------------
+# Full-schedule sharded Schur BA: the SAME schur_ba_core as the single-device
+# local/joint BA (solvers/local_ba.py), run under shard_map with the camera
+# axis sharded over the mesh — landmark blocks psum-reduced, camera blocks
+# all-gathered, identical LM/pruning schedule (the collectives are identity
+# when axis_name is None, so the two paths cannot diverge semantically).
+# This is what LocalMapper/LoopCloser dispatch to when constructed with a
+# multi-device mesh.
+# ---------------------------------------------------------------------------
+
+_SHARDED_CORE_CACHE = {}
+
+
+def _sharded_core(mesh: Mesh, cam: CameraModel, phase_iters, initial_prune):
+    from ..solvers.local_ba import schur_ba_core
+
+    key = (
+        mesh, float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        float(cam.bf), tuple(phase_iters), float(initial_prune),
+    )
+    if key in _SHARDED_CORE_CACHE:
+        return _SHARDED_CORE_CACHE[key]
+    n_dev = mesh.devices.size
+
+    def core(poses0, pts0, uv, ur, inv_s2, pid, obs_ok, is_fixed, used):
+        return schur_ba_core(
+            poses0, pts0, uv, ur, inv_s2, pid, obs_ok, is_fixed, used, cam,
+            phase_iters=tuple(phase_iters), initial_prune=initial_prune,
+            axis_name=MAP_AXIS, n_shards=n_dev,
+        )
+
+    step = jax.jit(
+        jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(
+                P(MAP_AXIS), P(), P(MAP_AXIS), P(MAP_AXIS), P(MAP_AXIS),
+                P(MAP_AXIS), P(MAP_AXIS), P(MAP_AXIS), P(MAP_AXIS),
+            ),
+            out_specs=(P(MAP_AXIS), P(), P(MAP_AXIS), P()),
+            check_vma=False,  # pts/pt_in outputs ARE replicated (psum-derived)
+        )
+    )
+    _SHARDED_CORE_CACHE[key] = step
+    return step
+
+
+def _pad_cams(n: int, n_dev: int) -> int:
+    return ((n + n_dev - 1) // n_dev) * n_dev
+
+
+def distributed_local_ba(
+    m,
+    kf_id,
+    mesh: Mesh,
+    cam: CameraModel,
+    inv_sigma2_lut: jnp.ndarray,
+    n_local: int = 8,
+    n_fixed: int = 8,
+    phase_iters: Tuple[int, int] = (5, 10),
+):
+    """Local bundle adjustment with the camera window sharded over the mesh.
+
+    Same problem gather + write-back as ``local_bundle_adjustment``
+    (solvers/local_ba.py; Optimizer.cc:≈460), with the Schur LM engine run
+    cooperatively across devices.  The window is padded to a multiple of
+    the mesh size with unused cameras (zero-weight, identity rows in the
+    reduced system) so every shard holds an equal slice.
+    """
+    from ..models import map_state as ms
+    from ..solvers.lie import orthonormalize_se3
+    from ..solvers.local_ba import _gather_problem
+
+    n_dev = mesh.devices.size
+    Cw = n_local + n_fixed
+    Cp = _pad_cams(Cw, n_dev)
+
+    kf_id = jnp.asarray(kf_id, jnp.int32)
+    cam_ids, is_fixed, used = _gather_problem(m, kf_id, n_local, n_fixed)
+    if Cp != Cw:
+        cam_ids = jnp.concatenate([cam_ids, jnp.zeros(Cp - Cw, jnp.int32)])
+        is_fixed = jnp.concatenate([is_fixed, jnp.ones(Cp - Cw, bool)])
+        used = jnp.concatenate([used, jnp.zeros(Cp - Cw, bool)])
+
+    poses0 = m.kf_pose_cw[cam_ids]
+    uv = m.kf_xy[cam_ids]
+    ur = jnp.where(used[:, None], m.kf_ur[cam_ids], -1.0)
+    lvl = m.kf_level[cam_ids]
+    pid_raw = m.kf_point[cam_ids]
+    obs_ok = (pid_raw >= 0) & m.kf_kp_valid[cam_ids] & used[:, None]
+    pid = jnp.where(obs_ok, pid_raw, 0)
+    obs_ok = obs_ok & m.pt_valid[pid]
+    inv_s2 = inv_sigma2_lut[jnp.clip(lvl, 0, inv_sigma2_lut.shape[0] - 1)]
+
+    core = _sharded_core(mesh, cam, phase_iters, 0.0)
+    poses, pts, obs_mask, pt_in = core(
+        poses0, m.pt_pos, uv, ur, inv_s2, pid, obs_ok, is_fixed, used,
+    )
+
+    new_rows = jnp.where(obs_ok & ~obs_mask, ms.NO_POINT, m.kf_point[cam_ids])
+    kf_point = m.kf_point.at[cam_ids].set(
+        jnp.where(used[:, None], new_rows, m.kf_point[cam_ids])
+    )
+    kf_pose = m.kf_pose_cw.at[cam_ids].set(
+        jnp.where(
+            used[:, None, None], orthonormalize_se3(poses),
+            m.kf_pose_cw[cam_ids],
+        )
+    )
+    pt_pos = jnp.where(pt_in[:, None], pts, m.pt_pos)
+    return m._replace(kf_pose_cw=kf_pose, kf_point=kf_point, pt_pos=pt_pos)
+
+
+def distributed_joint_global_ba(
+    m,
+    mesh: Mesh,
+    cam: CameraModel,
+    inv_sigma2_lut: jnp.ndarray,
+    phase_iters: Tuple[int, int] = (5, 10),
+    max_cams: int = 512,
+    initial_prune: float = 0.0,
+    unbind_outliers: bool = True,
+):
+    """Joint global BA sharded over the mesh: the distributed twin of
+    ``run_joint_global_ba`` (solvers/global_ba.py; the reference's
+    LoopClosing::RunGlobalBundleAdjustment, src/LoopClosing.cc:≈530).
+    Identical host-side compaction; the Schur LM engine runs with the
+    compacted camera set sharded over the mesh axis.
+    """
+    import numpy as np
+
+    from ..models import map_state as ms
+    from ..solvers.global_ba import _next_pow2
+    from ..solvers.lie import orthonormalize_se3
+
+    n_dev = mesh.devices.size
+    kf_valid = np.asarray(m.kf_valid)
+    pt_valid = np.asarray(m.pt_valid)
+    kf_ids = np.nonzero(kf_valid)[0]
+    pt_ids = np.nonzero(pt_valid)[0]
+    if len(kf_ids) < 2 or len(pt_ids) == 0 or len(kf_ids) > max_cams:
+        return m
+    C = _pad_cams(_next_pow2(len(kf_ids)), n_dev)
+    Pa = _next_pow2(len(pt_ids), lo=256)
+
+    kf_pad = np.zeros(C, np.int32)
+    kf_pad[: len(kf_ids)] = kf_ids
+    used = np.zeros(C, bool)
+    used[: len(kf_ids)] = True
+    is_fixed = np.zeros(C, bool)
+    is_fixed[0] = True  # gauge: lowest valid keyframe id
+
+    pt_slot = np.full(m.pt_capacity, -1, np.int64)
+    pt_slot[pt_ids] = np.arange(len(pt_ids))
+
+    kf_pad_j = jnp.asarray(kf_pad)
+    pid_raw = np.asarray(m.kf_point)[kf_pad]
+    obs_ok = (
+        (pid_raw >= 0) & np.asarray(m.kf_kp_valid)[kf_pad] & used[:, None]
+    )
+    slot = np.where(obs_ok, pt_slot[np.maximum(pid_raw, 0)], -1)
+    obs_ok = obs_ok & (slot >= 0)
+    pid = np.where(obs_ok, np.maximum(slot, 0), 0).astype(np.int32)
+
+    lvl = jnp.clip(
+        jnp.asarray(np.asarray(m.kf_level)[kf_pad]),
+        0, inv_sigma2_lut.shape[0] - 1,
+    )
+    inv_s2 = inv_sigma2_lut[lvl]
+    ur = jnp.where(jnp.asarray(used)[:, None],
+                   jnp.asarray(np.asarray(m.kf_ur)[kf_pad]), -1.0)
+    pts0 = jnp.zeros((Pa, 3)).at[: len(pt_ids)].set(m.pt_pos[jnp.asarray(pt_ids)])
+
+    core = _sharded_core(mesh, cam, phase_iters, initial_prune)
+    poses, pts, obs_mask, _ = core(
+        m.kf_pose_cw[kf_pad_j], pts0, m.kf_xy[kf_pad_j], ur, inv_s2,
+        jnp.asarray(pid), jnp.asarray(obs_ok),
+        jnp.asarray(is_fixed), jnp.asarray(used),
+    )
+
+    n_k = len(kf_ids)
+    kf_pose = m.kf_pose_cw.at[jnp.asarray(kf_ids)].set(
+        orthonormalize_se3(poses[:n_k])
+    )
+    pt_pos = m.pt_pos.at[jnp.asarray(pt_ids)].set(pts[: len(pt_ids)])
+    kf_point = m.kf_point
+    if unbind_outliers:
+        pruned = jnp.asarray(obs_ok) & ~obs_mask
+        rows = jnp.where(pruned[:n_k], ms.NO_POINT, m.kf_point[kf_pad_j[:n_k]])
+        kf_point = kf_point.at[jnp.asarray(kf_ids)].set(rows)
+    return m._replace(kf_pose_cw=kf_pose, pt_pos=pt_pos, kf_point=kf_point)

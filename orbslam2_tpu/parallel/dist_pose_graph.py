@@ -49,7 +49,21 @@ def pad_edges(edges: PoseGraphEdges, n_devices: int) -> PoseGraphEdges:
     )
 
 
+_PG_CACHE = {}
+
+
 def make_distributed_pose_graph(
+    mesh: Mesh, iters: int = 20, fix_scale: bool = False
+):
+    key = (mesh, iters, fix_scale)
+    if key in _PG_CACHE:
+        return _PG_CACHE[key]
+    run = _make_distributed_pose_graph(mesh, iters, fix_scale)
+    _PG_CACHE[key] = run
+    return run
+
+
+def _make_distributed_pose_graph(
     mesh: Mesh, iters: int = 20, fix_scale: bool = False
 ):
     """Build the pjit'd distributed essential-graph solve.

@@ -35,12 +35,13 @@ from .lie import hat, se3_exp
 from .pose_opt import CHI2_MONO, CHI2_STEREO
 
 
-@functools.partial(jax.jit, static_argnames=("rounds",))
+@functools.partial(jax.jit, static_argnames=("rounds", "unbind_outliers"))
 def global_bundle_adjustment(
     m: ms.MapState,
     cam: CameraModel,
     inv_sigma2_lut: jnp.ndarray,
     rounds: int = 6,
+    unbind_outliers: bool = True,
 ) -> ms.MapState:
     """Alternating global refinement of all valid keyframes + points."""
     K, N = m.kf_point.shape
@@ -168,7 +169,14 @@ def global_bundle_adjustment(
         pts_new = intersection(poses, pts, w_obs)
         pts = jnp.where(total_err(poses, pts_new) < err1, pts_new, pts)
 
-    return m._replace(kf_pose_cw=poses, pt_pos=pts)
+    kf_point = m.kf_point
+    if unbind_outliers:
+        # Persist the chi2 hygiene (see run_joint_global_ba): wrong
+        # associations pruned during the plain half must not be re-admitted
+        # by the next GBA segment or drag subsequent local BA windows.
+        bad = obs_ok & ((chi2_all(poses, pts) > chi2_th) | ~obs_mask)
+        kf_point = jnp.where(bad, ms.NO_POINT, kf_point)
+    return m._replace(kf_pose_cw=poses, pt_pos=pts, kf_point=kf_point)
 
 
 # ---------------------------------------------------------------------------
@@ -190,16 +198,20 @@ def _next_pow2(n: int, lo: int = 16) -> int:
 _JOINT_CORE_CACHE = {}
 
 
-def _joint_core(phase_iters: Tuple[int, int]):
+def _joint_core(phase_iters: Tuple[int, int], initial_prune: float = 0.0):
     """Cached jitted schur_ba_core per phase schedule (a fresh jax.jit per
     call would recompile the full Schur program on every GBA segment)."""
-    if phase_iters not in _JOINT_CORE_CACHE:
+    key = (phase_iters, initial_prune)
+    if key not in _JOINT_CORE_CACHE:
         from .local_ba import schur_ba_core
 
-        _JOINT_CORE_CACHE[phase_iters] = jax.jit(
-            functools.partial(schur_ba_core, phase_iters=phase_iters)
+        _JOINT_CORE_CACHE[key] = jax.jit(
+            functools.partial(
+                schur_ba_core, phase_iters=phase_iters,
+                initial_prune=initial_prune,
+            )
         )
-    return _JOINT_CORE_CACHE[phase_iters]
+    return _JOINT_CORE_CACHE[key]
 
 
 def run_joint_global_ba(
@@ -208,6 +220,8 @@ def run_joint_global_ba(
     inv_sigma2_lut: jnp.ndarray,
     phase_iters: Tuple[int, int] = (5, 10),
     max_cams: int = 512,
+    initial_prune: float = 0.0,
+    unbind_outliers: bool = True,
 ) -> ms.MapState:
     """Joint Schur GBA over ALL active keyframes/points (compacted).
 
@@ -217,6 +231,12 @@ def run_joint_global_ba(
     every camera free except the lowest-id keyframe (the reference fixes
     KF0, Optimizer.cc:≈100), and scatter the refined poses/points back.
     Returns ``m`` unchanged if the map exceeds ``max_cams`` keyframes.
+
+    ``unbind_outliers`` PERSISTS the solver's chi2 pruning into the map by
+    unbinding pruned observations (the reference's equivalent hygiene runs
+    continuously in local BA, Optimizer.cc:≈560 erase loop; without it,
+    every abortable GBA segment re-admits the same wrong associations and
+    the plain phase drags the solution back toward the pre-loop drift).
     """
     import numpy as np
 
@@ -263,8 +283,8 @@ def run_joint_global_ba(
                    jnp.asarray(np.asarray(m.kf_ur)[kf_pad]), -1.0)
 
     pts0 = jnp.zeros((Pa, 3)).at[: len(pt_ids)].set(m.pt_pos[jnp.asarray(pt_ids)])
-    core = _joint_core(phase_iters)
-    poses, pts, _, _ = core(
+    core = _joint_core(phase_iters, initial_prune)
+    poses, pts, obs_mask, _ = core(
         m.kf_pose_cw[kf_pad_j], pts0,
         m.kf_xy[kf_pad_j], ur, inv_s2,
         jnp.asarray(pid), jnp.asarray(obs_ok),
@@ -277,4 +297,9 @@ def run_joint_global_ba(
         orthonormalize_se3(poses[:n_k])
     )
     pt_pos = m.pt_pos.at[jnp.asarray(pt_ids)].set(pts[: len(pt_ids)])
-    return m._replace(kf_pose_cw=kf_pose, pt_pos=pt_pos)
+    kf_point = m.kf_point
+    if unbind_outliers:
+        pruned = jnp.asarray(obs_ok) & ~obs_mask          # (C, N)
+        rows = jnp.where(pruned[:n_k], ms.NO_POINT, m.kf_point[kf_pad_j[:n_k]])
+        kf_point = kf_point.at[jnp.asarray(kf_ids)].set(rows)
+    return m._replace(kf_pose_cw=kf_pose, pt_pos=pt_pos, kf_point=kf_point)

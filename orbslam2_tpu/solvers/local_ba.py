@@ -107,28 +107,57 @@ def schur_ba_core(
     used: jnp.ndarray,         # (C,)
     cam: CameraModel,
     phase_iters: Tuple[int, int] = (5, 10),
+    initial_prune: float = 0.0,
+    axis_name: str = None,
+    n_shards: int = 1,
 ):
-    """The Schur-complement LM engine shared by local BA (window) and the
-    joint global BA (all active keyframes compacted): landmark blocks
-    inverted batched, dense reduced camera system, 5-robust + 10-plain
-    phase schedule with chi2 pruning between (Optimizer.cc:≈560).
+    """The Schur-complement LM engine shared by local BA (window), the
+    joint global BA (all active keyframes compacted), and the DISTRIBUTED
+    variants (parallel/dist_ba.py): landmark blocks inverted batched,
+    dense reduced camera system, 5-robust + 10-plain phase schedule with
+    chi2 pruning between (Optimizer.cc:≈560).
+
+    ``initial_prune`` > 0 masks observations whose chi2 at the INITIAL
+    geometry exceeds ``initial_prune * chi2_th`` before any iteration — a
+    loose association-hygiene gate for maps whose outlier bindings were
+    never unbound by local BA (a clean map is unaffected; gross wrong
+    associations would otherwise drag the plain phase quadratically).
+
+    When ``axis_name`` is set (inside shard_map over a mesh), the camera
+    axis of every (C, ...) input is the LOCAL shard (C_local = C_global /
+    n_shards; points replicated) and the SAME math runs cooperatively:
+    landmark blocks psum-reduced over ICI, per-camera blocks all-gathered
+    for the replicated reduced solve, each shard applying its slice of the
+    pose update.  Collectives are identity when axis_name is None, so the
+    single-device and distributed paths cannot diverge semantically.
 
     Returns (poses (C,4,4), pts (P,3), obs_mask (C,N) inlier mask,
-    pt_in (P,) participating-point mask).
+    pt_in (P,) participating-point mask) — camera-axis outputs local to
+    the shard, point-axis outputs replicated.
     """
-    C = poses0.shape[0]
+    C = poses0.shape[0] * n_shards   # global camera count
     P = pts0.shape[0]
     has_ur = ur >= 0
     chi2_th = jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)
     delta_h = jnp.sqrt(chi2_th)
 
-    # Which points participate (observed by >= 1 used camera here).
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def gather(x, axis=0):
+        if axis_name:
+            return jax.lax.all_gather(x, axis_name, axis=axis, tiled=True)
+        return x
+
+    # Which points participate (observed by >= 1 used camera anywhere).
     # scatter-.max (not .set) so duplicate indices — every invalid obs
     # writes slot 0 — can never race a genuine True with a False.
     pt_in = (
-        jnp.zeros((P,), jnp.int32)
-        .at[pid.reshape(-1)]
-        .max(obs_ok.reshape(-1).astype(jnp.int32), mode="drop")
+        psum(
+            jnp.zeros((P,), jnp.int32)
+            .at[pid.reshape(-1)]
+            .max(obs_ok.reshape(-1).astype(jnp.int32), mode="drop")
+        )
         > 0
     )
     # Hold points fixed if ONLY fixed cameras see them locally?  The
@@ -141,6 +170,7 @@ def schur_ba_core(
         return jnp.where(behind, 1e9, c)
 
     def lm_step(poses, pts, obs_mask, lam, robust):
+        Cl = poses.shape[0]  # local camera count (== C when not sharded)
         r, J_cam, J_pt, behind = _residuals(poses, pts, uv, ur, pid, obs_mask, cam)
         w = inv_s2 * obs_mask.astype(jnp.float32) * (~behind).astype(jnp.float32)
         if robust:
@@ -149,21 +179,28 @@ def schur_ba_core(
         # Zero camera Jacobians of fixed cameras.
         J_cam = jnp.where(is_fixed[:, None, None, None], 0.0, J_cam)
 
-        # Per-camera blocks.
-        H_cc = jnp.einsum("cnij,cn,cnik->cjk", J_cam, w, J_cam)  # (C,6,6)
-        b_c = jnp.einsum("cnij,cn,cni->cj", J_cam, w, r)         # (C,6)
-        # Per-point blocks via scatter-add.
+        # Per-camera blocks (local shard).
+        H_cc = jnp.einsum("cnij,cn,cnik->cjk", J_cam, w, J_cam)  # (Cl,6,6)
+        b_c = jnp.einsum("cnij,cn,cni->cj", J_cam, w, r)         # (Cl,6)
+        # Per-point blocks via scatter-add, reduced across shards (points
+        # are shared by all camera shards).
         flat_pid = pid.reshape(-1)
         Hpp_contrib = jnp.einsum("cnij,cn,cnik->cnjk", J_pt, w, J_pt).reshape(-1, 3, 3)
         bp_contrib = jnp.einsum("cnij,cn,cni->cnj", J_pt, w, r).reshape(-1, 3)
-        H_pp = jnp.zeros((P, 3, 3)).at[flat_pid].add(Hpp_contrib, mode="drop")
-        b_p = jnp.zeros((P, 3)).at[flat_pid].add(bp_contrib, mode="drop")
-        # Cross blocks G[p, c] = sum_n Jc^T W Jp  (6x3).
-        G_contrib = jnp.einsum("cnij,cn,cnik->cnjk", J_cam, w, J_pt)  # (C,N,6,3)
+        H_pp = psum(jnp.zeros((P, 3, 3)).at[flat_pid].add(Hpp_contrib, mode="drop"))
+        b_p = psum(jnp.zeros((P, 3)).at[flat_pid].add(bp_contrib, mode="drop"))
+        # Cross blocks G[p, c] = sum_n Jc^T W Jp  (6x3): local columns,
+        # all-gathered so every shard can form the full reduced system.
+        G_contrib = jnp.einsum("cnij,cn,cnik->cnjk", J_cam, w, J_pt)  # (Cl,N,6,3)
         cam_idx = jax.lax.broadcasted_iota(jnp.int32, pid.shape, 0).reshape(-1)
-        G = jnp.zeros((P, C, 6, 3)).at[flat_pid, cam_idx].add(
+        G_local = jnp.zeros((P, Cl, 6, 3)).at[flat_pid, cam_idx].add(
             G_contrib.reshape(-1, 6, 3), mode="drop"
         )
+        G = gather(G_local, axis=1)            # (P, C, 6, 3)
+        H_cc_all = gather(H_cc)                # (C, 6, 6)
+        b_c_all = gather(b_c)                  # (C, 6)
+        fixed_all = gather(is_fixed)
+        used_all = gather(used)
 
         # Damped landmark inverse.
         H_pp_d = H_pp + (lam * jnp.eye(3))[None] * jnp.maximum(
@@ -176,28 +213,33 @@ def schur_ba_core(
             0.0,
         )
 
-        # Reduced camera system.
+        # Reduced camera system (replicated across shards).
         M = jnp.einsum("pcij,pjk->pcik", G, Hpp_inv)       # (P,C,6,3)
         S_red = jnp.einsum("pcik,pdlk->cidl", M, G)        # (C,6,C,6)
         S = (
-            _blockdiag(H_cc) - S_red.reshape(C * 6, C * 6)
+            _blockdiag(H_cc_all) - S_red.reshape(C * 6, C * 6)
         )
-        rhs = (b_c - jnp.einsum("pcik,pk->ci", M, b_p)).reshape(-1)
+        rhs = (b_c_all - jnp.einsum("pcik,pk->ci", M, b_p)).reshape(-1)
         # LM damping on cameras + fix handling: identity rows for fixed/unused.
         diag_scale = jnp.maximum(jnp.diag(S), 1e-6)
         S = S + jnp.diag(lam * diag_scale)
-        free = (~is_fixed) & used
+        free = (~fixed_all) & used_all
         free6 = jnp.repeat(free, 6)
         S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
         S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
         rhs = jnp.where(free6, rhs, 0.0)
 
-        delta_c = -jnp.linalg.solve(S, rhs).reshape(C, 6)
+        delta_c_all = -jnp.linalg.solve(S, rhs).reshape(C, 6)
         # Back-substitute points: delta_p = -Hpp_inv (b_p + G^T delta_c).
-        Gt_dc = jnp.einsum("pcij,ci->pj", G, delta_c)
+        Gt_dc = jnp.einsum("pcij,ci->pj", G, delta_c_all)
         delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, b_p + Gt_dc)
         delta_p = jnp.where(active[:, None], delta_p, 0.0)
 
+        if axis_name:
+            my = jax.lax.axis_index(axis_name)
+            delta_c = jax.lax.dynamic_slice_in_dim(delta_c_all, my * Cl, Cl, 0)
+        else:
+            delta_c = delta_c_all
         poses_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(delta_c, poses)
         poses_new = jnp.where(is_fixed[:, None, None], poses, poses_new)
         pts_new = pts + delta_p
@@ -206,16 +248,24 @@ def schur_ba_core(
     poses = poses0
     pts = pts0
     obs_mask = obs_ok
+    if initial_prune > 0.0:
+        obs_mask = obs_mask & (
+            chi2_of(poses, pts, obs_mask) <= initial_prune * chi2_th
+        )
     lam = jnp.float32(1e-4)
     for phase, (iters, robust) in enumerate(
-        zip(phase_iters, (True, False))
+        zip(phase_iters, (True, False) if len(phase_iters) > 1 else (True,))
     ):
         for _ in range(iters):
-            err0 = jnp.sum(jnp.where(obs_mask, chi2_of(poses, pts, obs_mask), 0.0))
-            poses_new, pts_new = lm_step(poses, pts, obs_mask, lam, robust)
-            err1 = jnp.sum(
-                jnp.where(obs_mask, chi2_of(poses_new, pts_new, obs_mask), 0.0)
+            # psum'd scalar costs -> the accept decision and lam schedule
+            # are identical on every shard.
+            err0 = psum(
+                jnp.sum(jnp.where(obs_mask, chi2_of(poses, pts, obs_mask), 0.0))
             )
+            poses_new, pts_new = lm_step(poses, pts, obs_mask, lam, robust)
+            err1 = psum(jnp.sum(
+                jnp.where(obs_mask, chi2_of(poses_new, pts_new, obs_mask), 0.0)
+            ))
             accept = err1 < err0
             poses = jnp.where(accept, poses_new, poses)
             pts = jnp.where(accept, pts_new, pts)

@@ -279,6 +279,103 @@ class TestGlobalBA:
         e1 = mean_chi2(m2)
         assert e1 < 0.25 * e0, (e0, e1)
 
+    def _clean_problem(self, rng, K=6, N=64, P=256):
+        from orbslam2_tpu.models import map_state as ms
+
+        m = ms.make_empty_map(K, P, N)
+        X = np.stack(
+            [rng.uniform(-3, 3, P), rng.uniform(-2, 2, P), rng.uniform(4, 9, P)],
+            -1,
+        ).astype(np.float32)
+        poses, kf_xy, kf_pt = [], [], []
+        for k in range(K):
+            T = np.asarray(
+                lie.se3_exp(jnp.asarray(
+                    np.array([0.3 * k, 0.01 * k, 0, 0, 0.02 * k, 0], np.float32)))
+            )
+            poses.append(T)
+            ids = rng.choice(P, N, replace=False)
+            pc = X[ids] @ T[:3, :3].T + T[:3, 3]
+            uv = np.stack(
+                [320 * pc[:, 0] / pc[:, 2] + 160, 320 * pc[:, 1] / pc[:, 2] + 120],
+                -1,
+            ) + rng.normal(0, 0.3, (N, 2))
+            kf_xy.append(uv)
+            kf_pt.append(ids)
+        m = m._replace(
+            kf_pose_cw=jnp.asarray(np.stack(poses)),
+            kf_xy=jnp.asarray(np.stack(kf_xy), jnp.float32),
+            kf_point=jnp.asarray(np.stack(kf_pt), jnp.int32),
+            kf_kp_valid=jnp.ones((K, N), bool),
+            kf_valid=jnp.ones(K, bool),
+            pt_pos=jnp.asarray(X),
+            pt_valid=jnp.ones(P, bool),
+            n_kf=jnp.int32(K), n_pt=jnp.int32(P),
+        )
+        return m, np.stack(poses), X
+
+    def test_joint_gba_unbinds_wrong_associations(self, rng):
+        """The persistent chi2 hygiene: observations bound to the WRONG
+        map point (never cleaned because local BA didn't run) must be
+        unbound by GBA, and the refined poses must land near truth instead
+        of being dragged by the outliers in the plain phase."""
+        from orbslam2_tpu.solvers.global_ba import run_joint_global_ba
+
+        m, poses_gt, X = self._clean_problem(rng)
+        K, N = m.kf_point.shape
+        # Corrupt 8% of bindings per keyframe to random other points.
+        kf_pt = np.asarray(m.kf_point).copy()
+        n_bad = int(0.08 * N)
+        wrong = np.zeros((K, N), bool)
+        for k in range(K):
+            bad = rng.choice(N, n_bad, replace=False)
+            kf_pt[k, bad] = (kf_pt[k, bad] + 37) % X.shape[0]
+            wrong[k, bad] = True
+        # Perturb free poses so the solver has real work to do.
+        pp = poses_gt.copy()
+        for k in range(1, K):
+            d = rng.normal(0, 0.01, 6).astype(np.float32)
+            pp[k] = np.asarray(lie.se3_exp(jnp.asarray(d))) @ pp[k]
+        m = m._replace(kf_point=jnp.asarray(kf_pt), kf_pose_cw=jnp.asarray(pp))
+
+        m2 = run_joint_global_ba(
+            m, CAM, jnp.ones(8), phase_iters=(5, 10), initial_prune=6.0,
+        )
+        still_bound = np.asarray(m2.kf_point) >= 0
+        frac_wrong_kept = float(still_bound[wrong].mean())
+        assert frac_wrong_kept < 0.15, frac_wrong_kept
+        # Pose recovery: translation error vs truth small despite outliers.
+        terr = np.linalg.norm(
+            np.asarray(m2.kf_pose_cw)[:, :3, 3] - poses_gt[:, :3, 3], axis=-1
+        )
+        assert float(terr.max()) < 0.03, terr
+
+    def test_loop_edge_guard(self, rng):
+        """loop_edges_still_closed rejects a pose set that re-opens a
+        verified loop edge and accepts one that keeps it closed."""
+        from orbslam2_tpu.models.loop_closing import (
+            loop_edge_residuals, loop_edges_still_closed,
+        )
+
+        T0 = np.eye(4, dtype=np.float32)
+        T9 = np.asarray(lie.se3_exp(jnp.asarray(
+            np.array([1.0, 0, 0, 0, 0.2, 0], np.float32))))
+        poses = np.stack([T0, T9])
+        S = T9 @ np.linalg.inv(T0)  # exact: residual ~ 0
+        edges = [(0, 1, S)]
+        r0 = loop_edge_residuals(poses, edges)
+        assert r0[0][0] < 1e-5 and r0[0][1] < 1e-4
+        # Small drift (noise scale): still accepted.
+        T9b = np.asarray(lie.se3_exp(jnp.asarray(
+            np.array([0.003, 0, 0, 0, 0, 0], np.float32)))) @ T9
+        r1 = loop_edge_residuals(np.stack([T0, T9b]), edges)
+        assert loop_edges_still_closed(r0, r1)
+        # Seam re-opened by 5 cm: rejected.
+        T9c = np.asarray(lie.se3_exp(jnp.asarray(
+            np.array([0.05, 0, 0, 0, 0, 0], np.float32)))) @ T9
+        r2 = loop_edge_residuals(np.stack([T0, T9c]), edges)
+        assert not loop_edges_still_closed(r0, r2)
+
 
 class TestSparseBow:
     def test_sparse_matches_dense(self, rng):

@@ -163,3 +163,127 @@ class TestDistributedBA:
             np.asarray(poses)[0], np.asarray(prob.poses)[0], atol=1e-7
         )
         assert not np.allclose(np.asarray(poses)[3], np.asarray(prob.poses)[3])
+
+
+def make_slam_map(rng, K=12, N=96, P=512, noise=0.3, perturb=0.01, pose_noise=0.02):
+    """A populated MapState with consistent observations for solver parity
+    tests (the same shape LocalMapper/LoopCloser hand to the BA backends)."""
+    from orbslam2_tpu.models import map_state as ms
+
+    m = ms.make_empty_map(K, P, N)
+    X = np.stack(
+        [rng.uniform(-3, 3, P), rng.uniform(-2, 2, P), rng.uniform(5, 9, P)],
+        -1,
+    ).astype(np.float32)
+    poses, kf_xy, kf_pt = [], [], []
+    cam = make_camera(300.0, 300.0, 128.0, 96.0, width=256, height=192)
+    for k in range(K):
+        xi = np.concatenate(
+            [[0.25 * k, 0.01 * k, 0.0], rng.normal(0, pose_noise, 3)]
+        ).astype(np.float32)
+        T = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+        poses.append(T)
+        ids = rng.choice(P, N, replace=False)
+        pc = X[ids] @ T[:3, :3].T + T[:3, 3]
+        uv = np.stack(
+            [300.0 * pc[:, 0] / pc[:, 2] + 128.0,
+             300.0 * pc[:, 1] / pc[:, 2] + 96.0], -1
+        ) + rng.normal(0, noise, (N, 2))
+        kf_xy.append(uv)
+        kf_pt.append(ids)
+    poses_gt = np.stack(poses)
+    pp = poses_gt.copy()
+    for k in range(1, K):
+        d = rng.normal(0, perturb, 6).astype(np.float32)
+        pp[k] = np.asarray(lie.se3_exp(jnp.asarray(d))) @ pp[k]
+    m = m._replace(
+        kf_pose_cw=jnp.asarray(pp),
+        kf_xy=jnp.asarray(np.stack(kf_xy), jnp.float32),
+        kf_point=jnp.asarray(np.stack(kf_pt), jnp.int32),
+        kf_kp_valid=jnp.ones((K, N), bool),
+        kf_valid=jnp.ones(K, bool),
+        pt_pos=jnp.asarray(X + rng.normal(0, 0.03, X.shape).astype(np.float32)),
+        pt_valid=jnp.ones(P, bool),
+        n_kf=jnp.int32(K), n_pt=jnp.int32(P),
+    )
+    return m, poses_gt, X, cam
+
+
+class TestDistributedLocalBA:
+    """The pipeline-wired distributed solvers (LocalMapper/LoopCloser with
+    mesh=...) must match their single-device twins — same schur_ba_core,
+    collectives identity vs psum/all_gather."""
+
+    def test_distributed_local_ba_matches_single_device(self, rng):
+        from orbslam2_tpu.solvers.local_ba import local_bundle_adjustment
+
+        m, *_ , cam = make_slam_map(rng, K=16)
+        inv_s2 = jnp.ones(8)
+        m1 = local_bundle_adjustment(m, jnp.int32(3), cam, inv_s2)
+        m8 = dist_ba.distributed_local_ba(
+            m, jnp.int32(3), mesh_mod.make_mesh(8), cam, inv_s2
+        )
+        np.testing.assert_allclose(
+            np.asarray(m8.kf_pose_cw), np.asarray(m1.kf_pose_cw), atol=2e-4
+        )
+        # f32 psum reduction order can flip a borderline LM accept; the
+        # surviving differences are a few mm on a handful of points.
+        np.testing.assert_allclose(
+            np.asarray(m8.pt_pos), np.asarray(m1.pt_pos), atol=1e-2
+        )
+        assert np.array_equal(np.asarray(m8.kf_point), np.asarray(m1.kf_point))
+        # And it actually optimized something.
+        assert not np.allclose(
+            np.asarray(m8.kf_pose_cw), np.asarray(m.kf_pose_cw)
+        )
+
+    def test_distributed_joint_gba_matches_single_device(self, rng):
+        from orbslam2_tpu.solvers.global_ba import run_joint_global_ba
+
+        m, poses_gt, _, cam = make_slam_map(rng, K=16)
+        inv_s2 = jnp.ones(8)
+        m1 = run_joint_global_ba(m, cam, inv_s2, phase_iters=(5, 10))
+        m8 = dist_ba.distributed_joint_global_ba(
+            m, mesh_mod.make_mesh(8), cam, inv_s2, phase_iters=(5, 10)
+        )
+        np.testing.assert_allclose(
+            np.asarray(m8.kf_pose_cw), np.asarray(m1.kf_pose_cw), atol=2e-4
+        )
+        # f32 psum reduction order can flip a borderline LM accept; the
+        # surviving differences are a few mm on a handful of points.
+        np.testing.assert_allclose(
+            np.asarray(m8.pt_pos), np.asarray(m1.pt_pos), atol=1e-2
+        )
+        assert np.array_equal(np.asarray(m8.kf_point), np.asarray(m1.kf_point))
+        # Both recover near-truth poses.
+        terr = np.linalg.norm(
+            np.asarray(m8.kf_pose_cw)[:, :3, 3] - poses_gt[:, :3, 3], axis=-1
+        )
+        assert float(terr.max()) < 0.05, terr
+
+    def test_mapper_mesh_dispatch(self, rng):
+        """LocalMapper(mesh=...) routes BA to the distributed solver and
+        produces the same map as the single-device mapper."""
+        from orbslam2_tpu.config import (
+            CameraSettings, OrbSettings, Settings, TpuSettings,
+        )
+        from orbslam2_tpu.models.local_mapping import LocalMapper
+
+        s = Settings(
+            camera=CameraSettings(fx=300.0, fy=300.0, cx=128.0, cy=96.0,
+                                  width=256, height=192),
+            orb=OrbSettings(n_features=128, n_levels=4),
+            tpu=TpuSettings(max_keypoints=96, max_keyframes=16,
+                            max_points=512),
+        )
+        m, *_ = make_slam_map(rng, K=16)
+        lm1 = LocalMapper(s, sensor="rgbd", enable_fuse=False)
+        lm8 = LocalMapper(s, sensor="rgbd", enable_fuse=False,
+                          mesh=mesh_mod.make_mesh(8))
+        assert lm8.mesh is not None
+        out1 = lm1._local_ba(m, jnp.int32(3))
+        out8 = lm8._local_ba(m, jnp.int32(3))
+        np.testing.assert_allclose(
+            np.asarray(out8.kf_pose_cw), np.asarray(out1.kf_pose_cw),
+            atol=2e-4,
+        )
