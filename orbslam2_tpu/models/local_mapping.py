@@ -196,16 +196,45 @@ def _add_and_bind(m, X, f1, idx2, good, kf1, kf2):
     return m, pids
 
 
-@jax.jit
-def cull_keyframes(m: ms.MapState, current_kf: jnp.ndarray) -> ms.MapState:
+@functools.partial(jax.jit, static_argnames=("n_levels", "bf", "th_depth"))
+def cull_keyframes(
+    m: ms.MapState,
+    current_kf: jnp.ndarray,
+    n_levels: int = 8,
+    bf: float = 0.0,
+    th_depth: float = 0.0,
+) -> ms.MapState:
     """KeyFrameCulling (LocalMapping.cc:≈500): mask keyframes >= 90% of
-    whose points are seen by at least 3 other keyframes.  Keyframes 0/1 and
-    the current keyframe are protected."""
-    n_obs = ms.point_observation_counts(m)  # (P,)
+    whose points are redundantly observed.  Keyframes 0/1 and the current
+    keyframe are protected.
+
+    Scale-aware redundancy (the reference's exact condition): an
+    observation of point p at octave l counts as redundant only when at
+    least 3 OTHER keyframes observe p at the same or finer scale
+    (scaleLevel <= l + 1) — computed here as one (P, L) per-level scatter
+    count + cumsum instead of the reference's per-point observer loop.
+    For stereo/RGB-D (bf > 0), only close observations (depth < th_depth)
+    participate, as in the reference's !mbMonocular depth gate."""
     pts = m.kf_point
-    ok = (pts >= 0) & m.kf_kp_valid
+    ok = (pts >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    if bf > 0.0 and th_depth > 0.0:
+        # depth = bf / (u - ur); close <=> disparity > bf / th_depth.
+        disp = m.kf_xy[..., 0] - m.kf_ur
+        close = (m.kf_ur >= 0) & (disp > bf / th_depth)
+        ok = ok & close
     pid = jnp.where(ok, pts, 0)
-    redundant_obs = ok & (n_obs[pid] > 3)
+    P = m.pt_capacity
+    lvl = jnp.clip(m.kf_level, 0, n_levels - 1)
+    flat = jnp.where(ok, pid * n_levels + lvl, P * n_levels).reshape(-1)
+    cnt = (
+        jnp.zeros((P * n_levels,), jnp.int32)
+        .at[flat].add(1, mode="drop")
+        .reshape(P, n_levels)
+    )
+    cum = jnp.cumsum(cnt, axis=1)  # observers at octave <= l
+    band = jnp.minimum(lvl + 1, n_levels - 1)
+    # -1: exclude the observation itself (it is within its own band).
+    redundant_obs = ok & (cum[pid, band] - 1 >= 3)
     n_pts = jnp.sum(ok, axis=1)
     n_red = jnp.sum(redundant_obs, axis=1)
     kf_ids = jnp.arange(m.kf_capacity)
@@ -346,6 +375,10 @@ class LocalMapper:
         # reference uses 20 covisible neighbors mono vs 10 stereo/RGB-D,
         # LocalMapping.cc:≈190); scaled to our smaller local windows.
         self.n_tri_neighbors = 8 if sensor == "mono" else 4
+        # Scale-aware KF culling params: the stereo/RGB-D close-point gate
+        # (LocalMapping.cc:≈520) only applies when a baseline exists.
+        self._bf = float(settings.camera.bf) if sensor != "mono" else 0.0
+        self._cull_th_depth = float(getattr(settings.camera, "th_depth", 0.0))
 
     def _local_ba(self, m: ms.MapState, kf_id) -> ms.MapState:
         if self.mesh is not None:
@@ -387,6 +420,14 @@ class LocalMapper:
         if self.enable_ba:
             m = self._local_ba(m, kf)
             m = ms.update_point_stats(m, self.scale_factors)
+        # Exact min-median-Hamming distinctive descriptors, once the
+        # keyframe's fuse/BA binding changes have settled (the reference
+        # recomputes per-point on every observation change,
+        # MapPoint.cc:≈260; one batched pass per keyframe here).
+        m = ms.compute_distinctive_descriptors(m)
         if self.enable_kf_culling:
-            m = cull_keyframes(m, kf)
+            m = cull_keyframes(
+                m, kf, n_levels=self.settings.orb.n_levels,
+                bf=self._bf, th_depth=self._cull_th_depth,
+            )
         return m

@@ -428,6 +428,10 @@ class LoopCloser:
             m = self._run_gba(m)
         m = ms.update_point_stats(m, jnp.asarray(pyr_ops.scale_factors(
             self.settings.orb.n_levels, self.settings.orb.scale_factor)))
+        # AFTER update_point_stats: that pass refreshes pt_desc with the
+        # cheap ref-KF descriptor; the exact min-median-Hamming choice
+        # must win (MapPoint.cc:≈260).
+        m = ms.compute_distinctive_descriptors(m)
         return m
 
     def _run_gba(self, m: ms.MapState) -> ms.MapState:

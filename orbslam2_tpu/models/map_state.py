@@ -303,6 +303,74 @@ def update_point_stats(m: MapState, scale_factors: jnp.ndarray = None) -> MapSta
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_obs",))
+def compute_distinctive_descriptors(m: MapState, max_obs: int = 16) -> MapState:
+    """EXACT MapPoint::ComputeDistinctiveDescriptors (MapPoint.cc:≈260):
+    for every point, pick the observation descriptor minimizing the MEDIAN
+    Hamming distance to the point's other observation descriptors.
+
+    TPU shape: the per-point observation lists the reference walks via
+    mObservations are materialized as one (P, max_obs, 8) table built from
+    the forward index with a segment-rank sort (argsort by point id; rank
+    within run = position - run start), then all pairwise distances come
+    from max_obs^2 batched XOR+popcounts and one sorted-gather median.
+    Exact for points with <= max_obs observations (the common case by
+    far); beyond that the first max_obs observers vote.
+
+    Call once per keyframe-processing pass AFTER update_point_stats (which
+    maintains the cheap ref-KF descriptor for freshly created points)."""
+    K, N = m.kf_point.shape
+    P = m.pt_capacity
+    ok = (m.kf_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat_pid = jnp.where(ok, m.kf_point, P).reshape(-1)
+    desc_flat = m.kf_desc.reshape(-1, 8)
+
+    order = jnp.argsort(flat_pid)  # stable; sentinel P sorts last
+    sorted_pid = flat_pid[order]
+    seg_start = jnp.searchsorted(sorted_pid, sorted_pid, side="left")
+    rank = jnp.arange(flat_pid.shape[0]) - seg_start
+    tgt_p = jnp.where((rank < max_obs) & (sorted_pid < P), sorted_pid, P)
+    tgt_r = jnp.minimum(rank, max_obs - 1)
+    table = (
+        jnp.zeros((P, max_obs, 8), m.kf_desc.dtype)
+        .at[tgt_p, tgt_r].set(desc_flat[order], mode="drop")
+    )
+    valid = (
+        jnp.zeros((P, max_obs), bool).at[tgt_p, tgt_r].set(True, mode="drop")
+    )
+
+    # Pairwise Hamming distances, accumulated per 32-bit word to bound the
+    # intermediate at (P, M, M) instead of (P, M, M, 8).
+    d = jnp.zeros((P, max_obs, max_obs), jnp.int32)
+    for w in range(8):
+        x = table[:, :, None, w] ^ table[:, None, :, w]
+        d = d + jax.lax.population_count(x).astype(jnp.int32)
+    BIG = jnp.int32(1 << 12)
+    pair_ok = valid[:, :, None] & valid[:, None, :]
+    d = jnp.where(pair_ok, d, BIG)
+
+    # Median over each candidate row (self-distance 0 included, matching
+    # the reference's Dists[i][i]=0 and median index 0.5*(N-1)).
+    cnt = jnp.sum(valid, axis=1)  # (P,)
+    d_sorted = jnp.sort(d, axis=2)  # invalid -> BIG, at the end
+    med_idx = jnp.clip((cnt - 1) // 2, 0, max_obs - 1)
+    median = jnp.take_along_axis(
+        d_sorted,
+        jnp.broadcast_to(med_idx[:, None, None], (P, max_obs, 1)),
+        axis=2,
+    )[..., 0]
+    median = jnp.where(valid, median, BIG)
+    best = jnp.argmin(median, axis=1)  # (P,)
+    best_desc = jnp.take_along_axis(
+        table, jnp.broadcast_to(best[:, None, None], (P, 1, 8)), axis=1
+    )[:, 0, :]
+
+    upd = m.pt_valid & (cnt > 0)
+    return m._replace(
+        pt_desc=jnp.where(upd[:, None], best_desc, m.pt_desc)
+    )
+
+
 @jax.jit
 def dedup_binding_rows(kf_point: jnp.ndarray) -> jnp.ndarray:
     """Unbind duplicate point bindings within each keyframe row (keep the

@@ -28,6 +28,94 @@ class TestCheckpoint:
             )
 
 
+class TestDistinctiveDescriptors:
+    def test_matches_bruteforce_min_median_hamming(self, rng):
+        """compute_distinctive_descriptors must reproduce the reference's
+        MapPoint::ComputeDistinctiveDescriptors exactly (min median
+        Hamming over the point's observation descriptors)."""
+        import jax.numpy as jnp
+
+        K, N, P = 6, 16, 32
+        m = ms.make_empty_map(K, P, N)
+        kf_point = np.full((K, N), -1, np.int32)
+        kf_desc = rng.integers(0, 2**32, (K, N, 8), dtype=np.uint32)
+        # Each point observed by 3-6 keyframes at random slots.
+        obs = {p: [] for p in range(10)}
+        for p in range(10):
+            ks = rng.choice(K, rng.integers(3, 7), replace=False)
+            for k in ks:
+                free = np.nonzero(kf_point[k] < 0)[0]
+                s = free[0]
+                kf_point[k, s] = p
+                obs[p].append(kf_desc[k, s])
+        m = m._replace(
+            kf_point=jnp.asarray(kf_point),
+            kf_desc=jnp.asarray(kf_desc),
+            kf_kp_valid=jnp.ones((K, N), bool),
+            kf_valid=jnp.ones(K, bool),
+            pt_valid=jnp.zeros(P, bool).at[:10].set(True),
+            n_kf=jnp.int32(K), n_pt=jnp.int32(10),
+        )
+        m2 = ms.compute_distinctive_descriptors(m)
+
+        def ham(a, b):
+            return int(
+                np.sum([bin(int(x ^ y)).count("1") for x, y in zip(a, b)])
+            )
+
+        for p in range(10):
+            descs = obs[p]
+            n = len(descs)
+            meds = []
+            for i in range(n):
+                dists = sorted(ham(descs[i], descs[j]) for j in range(n))
+                meds.append(dists[(n - 1) // 2])  # ref: Dists[0.5*(N-1)]
+            # The returned descriptor must BE one of the observations and
+            # achieve the minimal median (ties are pick-order dependent in
+            # the reference too: std::map pointer iteration).
+            out = np.asarray(m2.pt_desc[p])
+            matches = [i for i in range(n) if np.array_equal(out, descs[i])]
+            assert matches, f"point {p}: result is not an observation"
+            assert meds[matches[0]] == min(meds), (p, meds, matches)
+
+
+class TestScaleAwareCulling:
+    def test_fine_scale_observer_not_culled(self, rng):
+        """A keyframe observing points at FINE octaves is kept even when 3+
+        other keyframes see the same points at much coarser octaves (the
+        reference's scaleLevel <= l+1 condition); the old obs-count-only
+        rule would cull it."""
+        import jax.numpy as jnp
+
+        from orbslam2_tpu.models.local_mapping import cull_keyframes
+
+        K, N, P = 6, 32, 64
+        m = ms.make_empty_map(K, P, N)
+        kf_point = np.full((K, N), -1, np.int32)
+        kf_level = np.zeros((K, N), np.int32)
+        # 20 points, all observed by every keyframe; KF3 sees them at
+        # octave 0, everyone else at octave 6.
+        for p in range(20):
+            for k in range(K):
+                kf_point[k, p] = p
+                kf_level[k, p] = 0 if k == 3 else 6
+        m = m._replace(
+            kf_point=jnp.asarray(kf_point),
+            kf_level=jnp.asarray(kf_level),
+            kf_kp_valid=jnp.ones((K, N), bool),
+            kf_valid=jnp.ones(K, bool),
+            pt_valid=jnp.zeros(P, bool).at[:20].set(True),
+            n_kf=jnp.int32(K), n_pt=jnp.int32(20),
+        )
+        out = cull_keyframes(m, jnp.int32(5), n_levels=8)
+        # KF3's observations are at octave 0: nobody else within octave<=1,
+        # so none are redundant -> kept.
+        assert bool(out.kf_valid[3])
+        # A coarse-scale keyframe (e.g. KF2) IS redundant: >=3 others at
+        # octave <= 7 see every point.
+        assert not bool(out.kf_valid[2])
+
+
 class TestVocabIO:
     def test_npz_roundtrip(self, tmp_path, rng):
         descs = rng.integers(0, 2**32, (1000, 8), dtype=np.uint32)
