@@ -212,6 +212,26 @@ class KeyframeDatabase:
             out_acc.append(float(acc[i]))
             if len(out_ids) >= n_candidates:
                 break
+        # Group winners can collapse to one keyframe on small / heavily
+        # covisible maps (every group shares the same best member).  The
+        # reference naturally returns several because its groups partition
+        # a large graph; here, backfill the remaining slots with the entry
+        # keyframes of groups that PASSED the 0.75 accumulated cut (still
+        # ranked by accumulated score) so the geometric verifier sees real
+        # alternatives — aliased groups below the cut stay excluded.
+        if len(out_ids) < n_candidates:
+            sl = np.asarray(short_ids)
+            for i in order:
+                if not keep[i]:
+                    continue
+                k = int(sl[i])
+                if k in seen:
+                    continue
+                seen.add(k)
+                out_ids.append(k)
+                out_acc.append(float(acc[i]))
+                if len(out_ids) >= n_candidates:
+                    break
         return np.asarray(out_ids, np.int64), np.asarray(out_acc)
 
     def detect_loop_candidates(
@@ -244,10 +264,16 @@ class KeyframeDatabase:
         m: ms.MapState,
         frame_desc: jnp.ndarray,
         frame_valid: jnp.ndarray,
-        n_candidates: int = 3,
+        n_candidates: int = 8,
     ) -> np.ndarray:
         """KeyFrameDatabase::DetectRelocalizationCandidates (≈200): same
-        grouped logic without the covisibility exclusion / min-score gate."""
+        grouped logic without the covisibility exclusion / min-score gate.
+
+        n_candidates is wider than loop detection's: the reference returns
+        EVERY group above the 0.75 cut and lets P4P+pose-opt reject the
+        wrong ones (Tracking.cc:≈1310 iterates all candidates); when BoW
+        scores are weakly discriminative the geometric verifier is the
+        real filter, so give it alternatives."""
         row, words = self._query_row(frame_desc, frame_valid)
         scores, common = self._scores_and_common(row, words)
         eligible = self.has_entry & m.kf_valid & (scores > 0)

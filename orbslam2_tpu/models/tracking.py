@@ -831,9 +831,14 @@ class Tracker:
                     self.metrics["relocalizations"] += 1
                     self.metrics["track_path"] = "reloc"
                     if self._next_ctx is not None:
+                        # has_velocity=True with identity velocity: the
+                        # reloc bindings + pose make windowed motion-model
+                        # matching (with its 2x-radius retry) the robust
+                        # continuation; descriptor-global ref-KF matching
+                        # is the weaker fallback after a reloc.
                         self._next_ctx = self._next_ctx._replace(
                             T_last=jnp.asarray(T, jnp.float32),
-                            has_velocity=jnp.asarray(False),
+                            has_velocity=jnp.asarray(True),
                             velocity=jnp.eye(4, dtype=jnp.float32),
                             last_bindings=jnp.where(
                                 self.last_bindings >= 0, self.last_bindings,
@@ -876,20 +881,30 @@ class Tracker:
                 self.metrics["track_path"] = "reloc"
                 relocated = True
                 if self._next_ctx is not None:
-                    # Re-anchor the chain at the relocalized pose (one frame
-                    # stale; the next frame re-tracks from the new ref KF).
+                    # Re-anchor the chain at the relocalized pose with the
+                    # reloc bindings and identity velocity: the next frame
+                    # motion-tracks the 2D-3D matches reloc just verified
+                    # (windowed projection matching with 2x retry), instead
+                    # of falling back to descriptor-global ref-KF matching.
+                    lb = bindings_r
                     self._next_ctx = self._next_ctx._replace(
                         T_last=jnp.asarray(T, jnp.float32),
-                        has_velocity=jnp.asarray(False),
+                        has_velocity=jnp.asarray(True),
                         velocity=jnp.eye(4, dtype=jnp.float32),
-                        last_bindings=jnp.full_like(
-                            self._next_ctx.last_bindings, NO_POINT
+                        last_bindings=jnp.where(
+                            lb >= 0, lb, jnp.full_like(lb, NO_POINT)
                         ),
                         ref_kf=jnp.int32(self.ref_kf),
                     )
-        self.trajectory.append(
-            (fid, out.T_cr, ref_at_dispatch, not relocated)
-        )
+        if relocated:
+            # Log the RELOCALIZED pose (relative to the new reference KF),
+            # not the dispatch-time garbage estimate.
+            T_cr = np.asarray(T) @ np.linalg.inv(
+                np.asarray(self.map.kf_pose_cw[self.ref_kf])
+            )
+            self.trajectory.append((fid, T_cr, self.ref_kf, False))
+        else:
+            self.trajectory.append((fid, out.T_cr, ref_at_dispatch, True))
 
     # -- chunked fused path (C frames per dispatch, lax.scan) ---------------
 
@@ -1013,16 +1028,49 @@ class Tracker:
             self._maybe_compact()
 
         last_vo = int(flags[-1, FLAG_PATH]) == 3
-        if (
-            self.state == TrackState.LOST or last_vo
-        ) and self.database is not None:
-            # Relocalize on the chunk's last frame (rebuilt host-side from
-            # the raw inputs — reloc is rare, one extra extraction).  Also
-            # fired while VO dead-reckoning (mbVO parallel reloc) so the
-            # pose re-anchors to the map at chunk cadence.
-            frame = self._build_frame(sensor, buf[-1])
-            ok_r, T, bindings_r, n_r = self._relocalize(frame)
+        ok_col = flags[:, FLAG_OK].astype(bool)
+        if not ok_col.all() and not ok_col[int(np.argmax(~ok_col)):].any():
+            # Lost mid-chunk and never recovered in-scan: relocalize AT the
+            # losing frame and REQUEUE the rest of the chunk so those
+            # frames are re-tracked from the relocalized state instead of
+            # logging up to C-1 garbage trajectory entries (the reference
+            # relocalizes on the very next frame after a loss).
+            j_r = int(np.argmax(~ok_col))
+        elif self.state == TrackState.LOST or last_vo:
+            # Lost at the chunk end (possibly after an in-scan recovery),
+            # or VO dead-reckoning (mbVO parallel reloc): relocalize on the
+            # last frame so the pose re-anchors at chunk cadence.
+            j_r = len(buf) - 1
+        else:
+            j_r = -1
+        if j_r >= 0 and self.database is not None:
+            # Rebuilt host-side from the raw inputs — reloc is rare, one
+            # extra extraction.  Like the reference (Relocalization runs
+            # every frame until it succeeds, Tracking.cc:≈1290), walk
+            # forward through the chunk's lost frames until one
+            # relocalizes (a featureless blackout frame can't).
+            ok_r = False
+            while j_r < len(buf):
+                frame = self._build_frame(sensor, buf[j_r])
+                ok_r, T, bindings_r, n_r = self._relocalize(frame)
+                if ok_r or ok_col[j_r:].any():
+                    break
+                j_r += 1
             if ok_r:
+                n_requeue = len(buf) - 1 - j_r
+                if n_requeue > 0:
+                    # Rewind the garbage tail: those frames re-enter the
+                    # buffer and are re-tracked from the relocalized ctx
+                    # with the next dispatch (flush() covers sequence end);
+                    # self.trajectory[-1] then points at frame j_r's entry
+                    # for the reloc-pose update below.
+                    del self.trajectory[-n_requeue:]
+                    self.frame_id -= n_requeue
+                    self.metrics["frames"] -= n_requeue
+                    self.metrics["frames_lost"] -= int(
+                        (~ok_col[j_r + 1:]).sum()
+                    )
+                    self._chunk_buf = list(buf[j_r + 1:]) + self._chunk_buf
                 self.state = TrackState.OK
                 self.last_T = T
                 self.n_tracked_history.append(int(n_r))
@@ -1036,9 +1084,12 @@ class Tracker:
                     self.ref_kf,
                     False,
                 )
+                # Identity-velocity motion continuation from the reloc
+                # bindings (see _resolve_pending): stronger than the
+                # descriptor-global ref-KF fallback on ambiguous texture.
                 self._next_ctx = self._next_ctx._replace(
                     T_last=jnp.asarray(T, jnp.float32),
-                    has_velocity=jnp.asarray(False),
+                    has_velocity=jnp.asarray(True),
                     velocity=jnp.eye(4, dtype=jnp.float32),
                     last_bindings=jnp.where(
                         bindings_r >= 0, bindings_r,
@@ -1388,6 +1439,17 @@ class Tracker:
                 kf_nodes=kf_nodes, frame_nodes=frame_nodes,
             )
             if not bool(pnp_ok) or int(n_in) < 10:
+                # Second chance with a looser ratio, no node gate, and more
+                # PnP hypotheses — the analog of the reference's widening
+                # SearchByProjection retry (Tracking.cc:≈1370): when the
+                # vocabulary is weak or the texture ambiguous, the 0.75
+                # ratio starves RANSAC below its minimal-sample odds.
+                self.init_key, sub = jax.random.split(self.init_key)
+                T, bindings, n_in, n_match, pnp_ok = relocalize_candidate(
+                    self.map, frame, jnp.int32(int(c)), self.inv_sigma2,
+                    self.cam, sub, ratio=0.9, pnp_iters=8192,
+                )
+            if not bool(pnp_ok) or int(n_in) < 10:
                 continue
             local_ids, local_valid = gather_local_points(self.map, bindings)
             T, bindings, n_in, self.map = track_local_map(
@@ -1633,7 +1695,7 @@ class Tracker:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("ratio", "pnp_iters"))
 def relocalize_candidate(
     m: ms.MapState,
     frame: Frame,
@@ -1643,13 +1705,22 @@ def relocalize_candidate(
     key: jnp.ndarray,
     kf_nodes: Optional[jnp.ndarray] = None,
     frame_nodes: Optional[jnp.ndarray] = None,
+    ratio: float = 0.75,
+    pnp_iters: int = 2048,
 ):
     """One relocalization attempt against a candidate keyframe: match the
     frame's descriptors to the keyframe's bound map points (node-gated
     SearchByBoW when vocabulary node ids are provided — candidate pairs
     restricted to the same DBoW2 FeatureVector node, ORBmatcher.cc:≈250),
-    batched PnP RANSAC, then the shared LM pose polish."""
-    from ..ops.pnp import pnp_ransac
+    batched PnP RANSAC, then the shared LM pose polish.
+
+    ``pnp_iters`` is deliberately large: global (non-windowed) descriptor
+    matching can run at 20-30% precision on ambiguous texture and the
+    minimal sample needs inlier_rate^4 luck per hypothesis — batched
+    hypotheses are nearly free on the MXU, so buy the robustness.  The
+    hypothesis solver is P3P+1 (planar-safe, like the reference's EPnP —
+    PnPsolver.cc; the 6-point DLT degenerates on wall-dominated scenes)."""
+    from ..ops.pnp import p3p_ransac
 
     kf_pts = m.kf_point[kf_id]
     kf_has = (kf_pts >= 0) & m.kf_kp_valid[kf_id]
@@ -1663,7 +1734,7 @@ def relocalize_candidate(
         )
     mres = match_descriptors(
         m.kf_desc[kf_id], src_ok, frame.desc, frame.valid,
-        pair_mask=pair_mask, max_dist=TH_LOW, ratio=0.75, cross_check=True,
+        pair_mask=pair_mask, max_dist=TH_LOW, ratio=ratio, cross_check=True,
     )
     # 2D-3D correspondences: frame keypoint <- map point.
     bindings = jnp.full(frame.xy.shape[0], NO_POINT, jnp.int32)
@@ -1674,9 +1745,9 @@ def relocalize_candidate(
     bound = bindings >= 0
     bpid = jnp.where(bound, bindings, 0)
     inv_s2 = inv_sigma2_lut[jnp.clip(frame.level, 0, inv_sigma2_lut.shape[0] - 1)]
-    pres = pnp_ransac(
+    pres = p3p_ransac(
         frame.xy, m.pt_pos[bpid], bound & frame.valid & m.pt_valid[bpid],
-        inv_s2, cam, key,
+        inv_s2, cam, key, iters=pnp_iters,
     )
     obs = _pose_obs_from_bindings(m, frame, bindings, inv_sigma2_lut)
     res = pose_optimization(pres.T_cw, obs, cam)
