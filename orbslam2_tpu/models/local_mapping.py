@@ -357,13 +357,15 @@ class LocalMapper:
         self.n_fuse_neighbors = n_fuse_neighbors
         self.cam = settings.camera_model()
         orb = settings.orb
-        self.scale_factors = jnp.asarray(
-            pyr_ops.scale_factors(orb.n_levels, orb.scale_factor)
+        # numpy (NOT jnp): closure-captured by jitted programs; device-array
+        # captures poison the axon runtime process-wide (utils/noconsts.py).
+        self.scale_factors = np.asarray(
+            pyr_ops.scale_factors(orb.n_levels, orb.scale_factor), np.float32
         )
-        self.sigma2 = jnp.asarray(
-            pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor)
+        self.sigma2 = np.asarray(
+            pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor), np.float32
         )
-        self.inv_sigma2 = 1.0 / self.sigma2
+        self.inv_sigma2 = (1.0 / self.sigma2).astype(np.float32)
         self.enable_ba = enable_ba
         self.enable_kf_culling = enable_kf_culling
         self.enable_fuse = enable_fuse

@@ -119,10 +119,15 @@ class LoopCloser:
         self.max_drift_frac = 0.15
         self.min_drift_abs = 0.5
         orb = settings.orb
-        self.sigma2 = jnp.asarray(
-            pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor)
+        # numpy (NOT jnp): closure-captured by jitted programs; device-array
+        # captures poison the axon runtime process-wide (utils/noconsts.py).
+        self.sigma2 = np.asarray(
+            pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor), np.float32
         )
-        self.inv_sigma2 = 1.0 / self.sigma2
+        self.inv_sigma2 = (1.0 / self.sigma2).astype(np.float32)
+        self.scale_factors = np.asarray(
+            pyr_ops.scale_factors(orb.n_levels, orb.scale_factor), np.float32
+        )
         self.key = jax.random.PRNGKey(7)
         # Consistency tracking (LoopClosing::DetectLoop's consistent groups).
         self.candidate_streak: dict = {}
@@ -250,8 +255,7 @@ class LoopCloser:
 
         # SearchBySim3: enrich matches by mutual projection under S0
         # (ORBmatcher.cc:≈810), then refine on the union.
-        scale_factors = jnp.asarray(pyr_ops.scale_factors(
-            self.settings.orb.n_levels, self.settings.orb.scale_factor))
+        scale_factors = self.scale_factors
         idx_l2, agree = search_by_sim3(
             m, jnp.int32(kf_c), jnp.int32(kf_l), S0, self.cam, scale_factors
         )
@@ -418,16 +422,13 @@ class LoopCloser:
         for gk in group_ids[:12]:
             m = _fuse_into_keyframe(
                 m, jnp.int32(int(gk)), cand_pids.astype(jnp.int32),
-                cand_valid, self.cam,
-                jnp.asarray(pyr_ops.scale_factors(
-                    self.settings.orb.n_levels, self.settings.orb.scale_factor)),
+                cand_valid, self.cam, self.scale_factors,
             )
 
         # Global refinement (the reference's background GBA).
         if self.enable_gba:
             m = self._run_gba(m)
-        m = ms.update_point_stats(m, jnp.asarray(pyr_ops.scale_factors(
-            self.settings.orb.n_levels, self.settings.orb.scale_factor)))
+        m = ms.update_point_stats(m, self.scale_factors)
         # AFTER update_point_stats: that pass refreshes pt_desc with the
         # cheap ref-KF descriptor; the exact min-median-Hamming choice
         # must win (MapPoint.cc:≈260).
@@ -599,7 +600,7 @@ class LoopProjMatches(NamedTuple):
     ok: jnp.ndarray         # (L,)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("n_cand",))
 def project_loop_matches(
     m: ms.MapState,
     kf_c: jnp.ndarray,

@@ -242,7 +242,7 @@ def track_reference_keyframe(
     return res.T_cw, bindings, res.n_inliers, n_matches
 
 
-@functools.partial(jax.jit, static_argnames=("n_local",))
+@functools.partial(jax.jit, static_argnames=("n_local", "n_local_kfs"))
 def gather_local_points(
     m: ms.MapState, bindings: jnp.ndarray, n_local: int = 4096,
     n_local_kfs: int = 16,
@@ -258,6 +258,8 @@ def gather_local_points(
     gather over the forward index; the local union is one scatter from the
     selected keyframes' rows.  O(P + K*N) — flat in map size.
     """
+    n_local = min(n_local, m.pt_capacity)
+    n_local_kfs = min(n_local_kfs, m.kf_capacity)
     bound = bindings >= 0
     pid = jnp.where(bound, bindings, m.pt_capacity)
     in_frame = (
@@ -548,11 +550,15 @@ class Tracker:
         orb = settings.orb
         self.extractor = OrbExtractor(orb, settings.tpu)
         self._init_extractor = None  # 2x-feature mono-init extractor (lazy)
-        self.scale_factors = jnp.asarray(
-            pyr_ops.scale_factors(orb.n_levels, orb.scale_factor)
+        # numpy (NOT jnp): these LUTs are closure-captured by the fused
+        # tracking programs; device-array captures poison the axon runtime
+        # process-wide (utils/noconsts.py).
+        self.scale_factors = np.asarray(
+            pyr_ops.scale_factors(orb.n_levels, orb.scale_factor), np.float32
         )
-        self.inv_sigma2 = jnp.asarray(
-            1.0 / pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor)
+        self.inv_sigma2 = np.asarray(
+            1.0 / pyr_ops.level_sigma2(orb.n_levels, orb.scale_factor),
+            np.float32,
         )
         self.map = ms.make_empty_map(
             settings.tpu.max_keyframes,

@@ -12,14 +12,24 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class CameraModel(NamedTuple):
-    """Static per-sequence camera intrinsics (device-resident scalars).
+    """Static per-sequence camera intrinsics (HOST-resident numpy scalars).
 
     Mirrors the YAML keys the reference's Tracking ctor parses
     (src/Tracking.cc:≈55-170): Camera.fx/fy/cx/cy, k1 k2 p1 p2 [k3],
     Camera.bf (stereo baseline x fx), width/height.
+
+    The leaves are numpy (NOT jax device arrays) ON PURPOSE: the camera
+    model is closure-captured as a constant by every fused tracking /
+    mapping program, and on the axon TPU runtime the FIRST compile of a
+    program that closes over a *device-resident* jax.Array permanently
+    degrades every subsequent dispatch in the process to a ~30 ms floor
+    (measured; see tests/test_no_device_consts.py for the regression
+    guard).  numpy leaves bake into the HLO as literal constants — free at
+    trace time, zero per-call cost.
     """
 
     fx: jnp.ndarray
@@ -55,25 +65,26 @@ class CameraModel(NamedTuple):
 
 
 def make_camera(fx, fy, cx, cy, dist=None, bf=0.0, width=640, height=480) -> CameraModel:
-    dist = jnp.zeros(5, jnp.float32) if dist is None else jnp.asarray(dist, jnp.float32)
+    # numpy-only on purpose — see the CameraModel docstring.
+    dist = np.zeros(5, np.float32) if dist is None else np.asarray(dist, np.float32)
     if dist.shape[0] < 5:
-        dist = jnp.concatenate([dist, jnp.zeros(5 - dist.shape[0], jnp.float32)])
+        dist = np.concatenate([dist, np.zeros(5 - dist.shape[0], np.float32)])
     cam = CameraModel(
-        fx=jnp.float32(fx), fy=jnp.float32(fy), cx=jnp.float32(cx), cy=jnp.float32(cy),
-        dist=dist, bf=jnp.float32(bf), width=int(width), height=int(height),
-        min_x=jnp.float32(0.0), max_x=jnp.float32(width),
-        min_y=jnp.float32(0.0), max_y=jnp.float32(height),
+        fx=np.float32(fx), fy=np.float32(fy), cx=np.float32(cx), cy=np.float32(cy),
+        dist=dist, bf=np.float32(bf), width=int(width), height=int(height),
+        min_x=np.float32(0.0), max_x=np.float32(width),
+        min_y=np.float32(0.0), max_y=np.float32(height),
     )
     # Undistorted bounds from the 4 image corners (Frame.cc:≈440).
-    corners = jnp.array(
-        [[0.0, 0.0], [width, 0.0], [0.0, height], [width, height]], jnp.float32
+    corners = np.array(
+        [[0.0, 0.0], [width, 0.0], [0.0, height], [width, height]], np.float32
     )
-    und = undistort_points(cam, corners)
+    und = np.asarray(undistort_points(cam, corners))
     cam = cam._replace(
-        min_x=jnp.minimum(und[0, 0], und[2, 0]),
-        max_x=jnp.maximum(und[1, 0], und[3, 0]),
-        min_y=jnp.minimum(und[0, 1], und[1, 1]),
-        max_y=jnp.maximum(und[2, 1], und[3, 1]),
+        min_x=np.float32(min(und[0, 0], und[2, 0])),
+        max_x=np.float32(max(und[1, 0], und[3, 0])),
+        min_y=np.float32(min(und[0, 1], und[1, 1])),
+        max_y=np.float32(max(und[2, 1], und[3, 1])),
     )
     return cam
 
