@@ -71,10 +71,10 @@ def main():
         orig_sim3 = lc._compute_sim3
 
         def detect(m, kf_id, n_candidates=3, _o=orig_detect):
-            ids, scores = _o(m, kf_id, n_candidates)
+            ids, scores, groups = _o(m, kf_id, n_candidates)
             if len(ids):
                 print(f"  kf={kf_id} cands={list(zip(ids.tolist(), np.round(scores, 3).tolist()))} streak={lc.candidate_streak}")
-            return ids, scores
+            return ids, scores, groups
 
         def sim3(m, kf_c, kf_l, _o=orig_sim3):
             r = _o(m, kf_c, kf_l)

@@ -113,9 +113,12 @@ class AsyncMappingPipeline:
                     mm = self.loop_closer.process_keyframe(
                         mm, int(kf_id), abort=self.abort_gba
                     )
-                # Materialize before publishing so adoption never blocks on
-                # still-running device work longer than necessary.
-                jax.block_until_ready(mm.kf_pose_cw)
+                # No block_until_ready here: every host sync costs ~30 ms
+                # on the axon tunnel (tools/axon_probe.py), and adoption's
+                # batched device_get already waits for whatever device work
+                # is still in flight.  Publishing "early" only means the
+                # queue keeps draining while the tracker decides when to
+                # adopt.
                 with self._lock:
                     self._result = (mm, snapshot, int(kf_id))
             except BaseException as e:  # propagate into the main thread

@@ -50,9 +50,12 @@ def _grouped_acc_scores(
     scores: jnp.ndarray,       # (K,) L1 scores (0 where not shortlisted)
     shortlist: jnp.ndarray,    # (K,) bool
     n_top: int = 10,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-candidate accumulated score over its top-10 covisibles that are
-    also shortlisted, and the best-scoring keyframe of each group."""
+    also shortlisted, the best-scoring keyframe of each group, and each
+    candidate's full covisibility row (consumers batch-read the rows with
+    the scores in ONE device_get — per-candidate row fetches would pay the
+    ~30 ms axon sync each, see tools/axon_probe.py)."""
 
     def one(c, ok):
         row = ms.covisible_row(m, c)
@@ -66,7 +69,7 @@ def _grouped_acc_scores(
             jnp.max(jnp.where(in_grp, scores[ids], -1.0)) > scores[c],
             ids[best_i], c,
         )
-        return jnp.where(ok, acc, -1.0), best_kf
+        return jnp.where(ok, acc, -1.0), best_kf, row
 
     return jax.vmap(one)(short_ids, short_ok)
 
@@ -178,8 +181,13 @@ class KeyframeDatabase:
         common: jnp.ndarray,
         eligible: jnp.ndarray,
         n_candidates: int,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Steps 1+3+4 of the reference logic, shared by loop + reloc."""
+    ) -> Tuple[np.ndarray, np.ndarray, dict]:
+        """Steps 1+3+4 of the reference logic, shared by loop + reloc.
+
+        Returns (ids, acc_scores, covis_groups) where covis_groups maps a
+        candidate id to the set of keyframe ids covisible with it — read
+        back in the SAME device_get as the scores so consistency tracking
+        costs no extra sync."""
         eligible = eligible & (common > 0)
         max_common = jnp.max(jnp.where(eligible, common, 0.0))
         shortlist = eligible & (common > 0.8 * max_common)
@@ -189,15 +197,21 @@ class KeyframeDatabase:
             min(_MAX_SHORTLIST, int(shortlist.shape[0])),
         )
         short_ok = top_s > 0.0
-        acc, best_kf = _grouped_acc_scores(
+        acc_d, best_kf_d, rows_d = _grouped_acc_scores(
             m, short_ids.astype(jnp.int32), short_ok, sl_scores, shortlist
         )
-        acc = np.asarray(acc)
-        best_kf = np.asarray(best_kf)
+        # ONE host sync for the whole candidate decision.
+        acc, best_kf, rows, sl = jax.device_get(
+            (acc_d, best_kf_d, rows_d, short_ids)
+        )
         if not (acc > 0).any():
-            return np.zeros(0, np.int64), np.zeros(0)
+            return np.zeros(0, np.int64), np.zeros(0), {}
         cut = 0.75 * acc.max()
         keep = acc >= cut
+        groups = {
+            int(sl[i]): set(np.nonzero(rows[i] > 0)[0].tolist())
+            for i in range(len(sl))
+        }
         # Dedupe group winners, strongest accumulated score first.
         order = np.argsort(-acc)
         seen, out_ids, out_acc = set(), [], []
@@ -220,7 +234,6 @@ class KeyframeDatabase:
         # ranked by accumulated score) so the geometric verifier sees real
         # alternatives — aliased groups below the cut stay excluded.
         if len(out_ids) < n_candidates:
-            sl = np.asarray(short_ids)
             for i in order:
                 if not keep[i]:
                     continue
@@ -232,17 +245,26 @@ class KeyframeDatabase:
                 out_acc.append(float(acc[i]))
                 if len(out_ids) >= n_candidates:
                     break
-        return np.asarray(out_ids, np.int64), np.asarray(out_acc)
+        # Group sets for the winners that came from best_kf rather than the
+        # shortlist entry: approximate with the entry keyframe's row (the
+        # winner is inside that group by construction).
+        for i in order:
+            k = int(best_kf[i])
+            if k in seen and k not in groups:
+                groups[k] = groups.get(int(sl[i]), set())
+        return np.asarray(out_ids, np.int64), np.asarray(out_acc), groups
 
     def detect_loop_candidates(
         self,
         m: ms.MapState,
         kf_id: int,
         n_candidates: int = 3,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ) -> Tuple[np.ndarray, np.ndarray, dict]:
         """KeyFrameDatabase::DetectLoopCandidates (≈90): common-word
         prefilter, covisible exclusion, min-score gate, covisibility-group
-        accumulated scoring with the 0.75 cut."""
+        accumulated scoring with the 0.75 cut.
+
+        Returns (ids, acc_scores, covis_groups) — one host sync total."""
         scores, common = self._scores_for_kf(m, kf_id)
         covis_row = ms.covisible_row(m, jnp.int32(kf_id)) > 0
         covis_scores = jnp.where(covis_row & self.has_entry, scores, jnp.inf)
@@ -277,7 +299,9 @@ class KeyframeDatabase:
         row, words = self._query_row(frame_desc, frame_valid)
         scores, common = self._scores_and_common(row, words)
         eligible = self.has_entry & m.kf_valid & (scores > 0)
-        ids, _ = self._grouped_candidates(m, scores, common, eligible, n_candidates)
+        ids, _, _ = self._grouped_candidates(
+            m, scores, common, eligible, n_candidates
+        )
         return ids
 
     # -- maintenance ---------------------------------------------------------

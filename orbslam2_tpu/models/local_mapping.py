@@ -100,9 +100,15 @@ def triangulate_new_points(
         valid=m.kf_kp_valid[kf_id] & (m.kf_point[kf_id] < 0),  # unbound only
     )
     T1 = m.kf_pose_cw[kf_id]
+    Kinv = jnp.linalg.inv(cam.K)
+    P1 = cam.K @ T1[:3, :4]
+    O1 = -T1[:3, :3].T @ T1[:3, 3]
 
-    def per_neighbor(m, nb):
-        kf2, w = nb
+    def match_neighbor(kf2, w):
+        """Epipolar match + triangulation + CheckRT for ONE neighbor —
+        vmapped over the neighborhood so the n matchers run as one batched
+        program (the reference's sequential neighbor loop is latency-bound
+        here; the matches are independent, only the BINDING is ordered)."""
         ok_neighbor = (w >= 10) & m.kf_valid[kf2] & (kf2 != kf_id)
         f2 = Features(
             xy=m.kf_xy[kf2], level=m.kf_level[kf2], angle=m.kf_angle[kf2],
@@ -111,14 +117,12 @@ def triangulate_new_points(
             valid=m.kf_kp_valid[kf2] & (m.kf_point[kf2] < 0) & ok_neighbor,
         )
         T2 = m.kf_pose_cw[kf2]
-        # Fundamental from relative pose: F12 = K^-T [t]x R K^-1 mapping
-        # x1 -> line in image 2 ... build from T21 = T2 * T1^-1.
+        # Fundamental from relative pose: build from T21 = T2 * T1^-1.
         T21 = T2 @ se3_inverse(T1)
         R21 = T21[:3, :3]
         t21 = T21[:3, 3]
         # Baseline gate (reference: skip if baseline < scene depth ratio).
         baseline = jnp.linalg.norm(t21)
-        Kinv = jnp.linalg.inv(cam.K)
         tx = jnp.array(
             [
                 [0.0, -t21[2], t21[1]],
@@ -129,15 +133,13 @@ def triangulate_new_points(
         E21 = tx @ R21
         F21 = Kinv.T @ E21 @ Kinv  # x2^T F21 x1 = 0; line2 = F21 @ x1
         # matcher.search_for_triangulation expects F12 with line2 = x1 @ F12
-        # i.e. F12 = F21^T ... its epipolar_distance uses lines = x1h @ F12
-        # with distance in image 2, so F12^T x1 = line2 -> F12 = F21^T.
+        # i.e. F12 = F21^T (its epipolar distance lives in image 2).
         mres = matcher.search_for_triangulation(
             f1, f2, F21.T, sigma2,
         )
         good_pair = mres.ok & (baseline > 1e-3)
 
         # Triangulate matched pairs.
-        P1 = cam.K @ T1[:3, :4]
         P2 = cam.K @ T2[:3, :4]
         xy2 = f2.xy[mres.idx]
         X = twoview.triangulate_linear(P1, P2, f1.xy, xy2)
@@ -156,7 +158,6 @@ def triangulate_new_points(
         e1_ok = reproj_err(pc1, f1.xy) <= 5.991 * s2a
         e2_ok = reproj_err(pc2, xy2) <= 5.991 * s2b
         # Parallax gate: rays from both camera centers.
-        O1 = -T1[:3, :3].T @ T1[:3, 3]
         O2 = -T2[:3, :3].T @ T2[:3, 3]
         r1 = X - O1
         r2 = X - O2
@@ -164,13 +165,18 @@ def triangulate_new_points(
             jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9
         )
         good = good_pair & z_ok & e1_ok & e2_ok & (cos_par < 0.9998)
+        return X, mres.idx, good
 
-        m, pids = _add_and_bind(m, X, f1, mres.idx, good, kf_id, kf2)
-        return m
-
+    X_all, idx_all, good_all = jax.vmap(match_neighbor)(
+        neighbor_ids[:n_neighbors], weights[:n_neighbors]
+    )
+    # Sequential binding (first neighbor wins a slot, like the reference's
+    # in-order CreateNewMapPoints) — cheap scatters only.
     for i in range(n_neighbors):
-        nb = (neighbor_ids[i], weights[i])
-        m = per_neighbor(m, nb)
+        m, _ = _add_and_bind(
+            m, X_all[i], f1, idx_all[i], good_all[i], kf_id,
+            neighbor_ids[i],
+        )
     return m
 
 
@@ -383,13 +389,21 @@ class LocalMapper:
         self._cull_th_depth = float(getattr(settings.camera, "th_depth", 0.0))
 
     def _local_ba(self, m: ms.MapState, kf_id) -> ms.MapState:
+        # Landmark-compaction cap: the window's unique points are bounded
+        # by roughly 2 frames' worth of features (new KF spawn + shared
+        # local points) — 2x the feature capacity covers it with headroom
+        # while keeping the solver's per-iteration landmark tensors small.
+        pt_cap = min(4096, 2 * m.feat_capacity)
         if self.mesh is not None:
             from ..parallel.dist_ba import distributed_local_ba
 
             return distributed_local_ba(
                 m, kf_id, self.mesh, self.cam, self.inv_sigma2,
+                pt_cap=pt_cap,
             )
-        return local_bundle_adjustment(m, kf_id, self.cam, self.inv_sigma2)
+        return local_bundle_adjustment(
+            m, kf_id, self.cam, self.inv_sigma2, pt_cap=pt_cap
+        )
 
     def on_initial_map(self, m: ms.MapState) -> ms.MapState:
         """Post-initialization polish (the reference runs GBA(20) here)."""
@@ -401,15 +415,18 @@ class LocalMapper:
     def process_keyframe(self, m: ms.MapState, kf_id: int) -> ms.MapState:
         kf = jnp.int32(kf_id)
         m = cull_map_points(m)
+        tri_ids, _ = ms.best_covisible(m, kf, self.n_tri_neighbors)
         m = triangulate_new_points(
             m, kf, self.cam, self.scale_factors, self.sigma2,
             n_neighbors=self.n_tri_neighbors,
         )
+        fuse_ids = None
         if self.enable_fuse:
             # SearchInNeighbors: fuse duplicates with the best covisible
             # neighbors, both directions (LocalMapping.cc:≈370).
             nn = self.n_fuse_neighbors
             neighbor_ids, weights = ms.best_covisible(m, kf, nn)
+            fuse_ids = neighbor_ids[:nn]
             for i in range(nn):
                 nb = neighbor_ids[i]
                 m = fuse_with_neighbor(
@@ -421,12 +438,22 @@ class LocalMapper:
         m = ms.update_point_stats(m, self.scale_factors)
         if self.enable_ba:
             m = self._local_ba(m, kf)
-            m = ms.update_point_stats(m, self.scale_factors)
-        # Exact min-median-Hamming distinctive descriptors, once the
-        # keyframe's fuse/BA binding changes have settled (the reference
-        # recomputes per-point on every observation change,
-        # MapPoint.cc:≈260; one batched pass per keyframe here).
-        m = ms.compute_distinctive_descriptors(m)
+            # NOTE: no stats refresh after BA — the reference recomputes
+            # UpdateNormalAndDepth on creation/fuse/Replace, never after
+            # LocalBundleAdjustment (src/LocalMapping.cc:≈190-500); the
+            # slight post-BA staleness of the scale bands matches it.
+        # Exact min-median-Hamming distinctive descriptors for the points
+        # this pass touched: those observed by the new keyframe, its
+        # triangulation partners and its fuse partners (the reference
+        # recomputes per TOUCHED point on observation change,
+        # MapPoint.cc:≈260 — never map-wide).  One batched incremental
+        # pass, ~4x cheaper than the full-pool recompute.
+        touched = [kf[None], tri_ids]
+        if fuse_ids is not None:
+            touched.append(fuse_ids)
+        m = ms.compute_distinctive_descriptors(
+            m, touched_kfs=jnp.concatenate(touched)
+        )
         if self.enable_kf_culling:
             m = cull_keyframes(
                 m, kf, n_levels=self.settings.orb.n_levels,

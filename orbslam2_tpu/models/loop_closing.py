@@ -166,18 +166,21 @@ class LoopCloser:
         """Returns the (possibly loop-corrected) map.  ``abort`` is an
         optional threading.Event checked between GBA segments (mbStopGBA)."""
         self._abort = abort
-        if kf_id - self.last_loop_kf < 10 or int(m.n_kf) < 8:
-            # Reference skips detection within 10 KFs of the last loop.
+        # Reference skips detection within 10 KFs of the last loop.  The
+        # keyframe count gate uses the pool slot id (slots are monotonic;
+        # kf_id + 1 <= n_kf) instead of reading n_kf back from the device —
+        # every host sync costs ~30 ms on the axon tunnel.
+        if kf_id - self.last_loop_kf < 10 or kf_id + 1 < 8:
             return m
-        cand_ids, _ = self.db.detect_loop_candidates(m, kf_id)
+        # Candidate query + each candidate's covisible group arrive in ONE
+        # batched readback (kf_database._grouped_candidates).
+        cand_ids, _, covis_groups = self.db.detect_loop_candidates(m, kf_id)
         # Consistency: a candidate (or its covisible group) must persist 3
-        # consecutive keyframes.  One covisible-row query per candidate
-        # (<= 3/keyframe) — no (K, K) matrix on the keyframe path.
+        # consecutive keyframes.
         new_streak = {}
         fired = []
         for c in cand_ids:
-            row = np.asarray(ms.covisible_row(m, jnp.int32(int(c))))
-            group = set(np.nonzero(row > 0)[0].tolist()) | {int(c)}
+            group = set(covis_groups.get(int(c), set())) | {int(c)}
             streak = 1
             for prev_group, prev_streak in self.candidate_streak.items():
                 if group & set(prev_group):
@@ -225,10 +228,11 @@ class LoopCloser:
             desc_c, ok_c, desc_l, ok_l, pair_mask=pair_mask,
             max_dist=TH_LOW, ratio=0.75, cross_check=True,
         )
-        n_matches = int(mres.ok.sum())
-        if n_matches < 20:
-            return None
-
+        # No early-exit syncs: every stage below is enqueued unconditionally
+        # (masked inputs keep degenerate cases finite) and ALL gate scalars
+        # are fetched in ONE device_get at the end — each intermediate
+        # int()/bool() readback would cost a ~30 ms axon sync, and this
+        # path runs for every consistency-fired candidate.
         pid_c = jnp.where(m.kf_point[kf_c] >= 0, m.kf_point[kf_c], 0)
         pid_l_all = jnp.where(m.kf_point[kf_l] >= 0, m.kf_point[kf_l], 0)
         pid_l = pid_l_all[mres.idx]
@@ -248,9 +252,6 @@ class LoopCloser:
             9.21 * self.sigma2[lvl_c], 7.78 * self.sigma2[lvl_l],
             self.cam, sub, fix_scale=self.fix_scale, min_inliers=20,
         )
-        if not bool(rres.ok):
-            return None
-
         S0 = sim3_to_mat(rres.R12, rres.t12, rres.s12)
 
         # SearchBySim3: enrich matches by mutual projection under S0
@@ -278,9 +279,6 @@ class LoopCloser:
             self.inv_sigma2[lvl_c], self.inv_sigma2[lvl_l_u],
             seed_inliers, self.cam, fix_scale=self.fix_scale,
         )
-        if int(ores.n_inliers) < 20:
-            return None
-
         # Final false-positive gate (LoopClosing::ComputeSim3 tail,
         # LoopClosing.cc:≈300): project the loop KF NEIGHBORHOOD's map
         # points into the current keyframe under the refined Sim3
@@ -296,9 +294,6 @@ class LoopCloser:
             m, jnp.int32(kf_c), jnp.int32(kf_l), loop_group, ores.S12,
             self.cam, scale_factors,
         )
-        if int(proj.n_matches) < 40:
-            return None
-
         # Polish the Sim3 on the neighborhood projection matches: a ~10x
         # larger, better-spread correspondence set than the pairwise BoW
         # matches used so far, so the correction the pose graph applies is
@@ -311,6 +306,21 @@ class LoopCloser:
             self.inv_sigma2[lvl_m], proj.ok, self.cam,
             fix_scale=self.fix_scale,
         )
+
+        # THE one host sync of the whole candidate verification: every gate
+        # scalar + the refined Sim3 + the poses the odometry gate needs.
+        (n_matches, ransac_ok, n_inliers, n_proj, S, poses, valid) = (
+            jax.device_get((
+                mres.ok.sum(), rres.ok, ores.n_inliers, proj.n_matches,
+                S_ref, m.kf_pose_cw, m.kf_valid,
+            ))
+        )
+        if int(n_matches) < 20 or not bool(ransac_ok):
+            return None
+        if int(n_inliers) < 20:
+            return None
+        if int(n_proj) < 40:
+            return None
         ores = ores._replace(S12=S_ref)
 
         # Odometry-consistency gate (robustification beyond the reference,
@@ -322,10 +332,7 @@ class LoopCloser:
         # from a geometrically ambiguous angle) — exactly the failure mode
         # the reference's >=40 projection gate cannot catch when the wrong
         # alignment is self-consistent.
-        poses = np.asarray(m.kf_pose_cw)
-        valid = np.asarray(m.kf_valid)
         T_rel_est = poses[kf_c] @ np.linalg.inv(poses[kf_l])
-        S = np.asarray(ores.S12)
         s_est = float(np.cbrt(max(np.linalg.det(S[:3, :3]), 1e-12)))
         D = S @ np.linalg.inv(T_rel_est)
         dt = float(np.linalg.norm(D[:3, 3]))

@@ -303,19 +303,32 @@ def update_point_stats(m: MapState, scale_factors: jnp.ndarray = None) -> MapSta
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_obs",))
-def compute_distinctive_descriptors(m: MapState, max_obs: int = 16) -> MapState:
+@functools.partial(jax.jit, static_argnames=("max_obs", "subset_cap"))
+def compute_distinctive_descriptors(
+    m: MapState,
+    max_obs: int = 16,
+    touched_kfs: jnp.ndarray = None,
+    subset_cap: int = 4096,
+) -> MapState:
     """EXACT MapPoint::ComputeDistinctiveDescriptors (MapPoint.cc:≈260):
     for every point, pick the observation descriptor minimizing the MEDIAN
     Hamming distance to the point's other observation descriptors.
 
     TPU shape: the per-point observation lists the reference walks via
-    mObservations are materialized as one (P, max_obs, 8) table built from
+    mObservations are materialized as one (P', max_obs, 8) table built from
     the forward index with a segment-rank sort (argsort by point id; rank
     within run = position - run start), then all pairwise distances come
     from max_obs^2 batched XOR+popcounts and one sorted-gather median.
     Exact for points with <= max_obs observations (the common case by
     far); beyond that the first max_obs observers vote.
+
+    ``touched_kfs``: optional (T,) int32 keyframe ids.  When given, only
+    points observed by those keyframes are recomputed (capped at
+    ``subset_cap``, ranked by membership) — the incremental form for the
+    per-keyframe mapping pass, matching the reference which recomputes
+    per TOUCHED point on observation changes, not map-wide.  P' is then
+    subset_cap instead of the full pool, an ~4x cheaper pass at the
+    default capacities.
 
     Call once per keyframe-processing pass AFTER update_point_stats (which
     maintains the cheap ref-KF descriptor for freshly created points)."""
@@ -323,25 +336,42 @@ def compute_distinctive_descriptors(m: MapState, max_obs: int = 16) -> MapState:
     P = m.pt_capacity
     ok = (m.kf_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
     flat_pid = jnp.where(ok, m.kf_point, P).reshape(-1)
+
+    if touched_kfs is not None:
+        kf_mask = jnp.zeros((K,), bool).at[touched_kfs].set(True, mode="drop")
+        member = points_seen_by(m, kf_mask)           # (P,)
+        Psub = min(subset_cap, P)
+        _, sel = jax.lax.top_k(member.astype(jnp.float32), Psub)
+        sel = sel.astype(jnp.int32)
+        sel_ok = member[sel]
+        g2l = jnp.full((P + 1,), Psub, jnp.int32).at[sel].set(
+            jnp.arange(Psub, dtype=jnp.int32)
+        )
+        flat_pid = g2l[jnp.minimum(flat_pid, P)]      # into subset ids
+        P_eff = Psub
+    else:
+        sel = None
+        P_eff = P
     desc_flat = m.kf_desc.reshape(-1, 8)
 
-    order = jnp.argsort(flat_pid)  # stable; sentinel P sorts last
+    # Sorted-segment GATHER (not scatter): sort observations by point id,
+    # then table[p, r] = sorted_desc[base(p) + r] — a (P', max_obs) gather
+    # from the sorted copy.  A scatter over the K*N observation rows is
+    # ~5x slower on TPU than this gather at default capacities.
+    order = jnp.argsort(flat_pid)  # stable; sentinel P_eff sorts last
     sorted_pid = flat_pid[order]
-    seg_start = jnp.searchsorted(sorted_pid, sorted_pid, side="left")
-    rank = jnp.arange(flat_pid.shape[0]) - seg_start
-    tgt_p = jnp.where((rank < max_obs) & (sorted_pid < P), sorted_pid, P)
-    tgt_r = jnp.minimum(rank, max_obs - 1)
-    table = (
-        jnp.zeros((P, max_obs, 8), m.kf_desc.dtype)
-        .at[tgt_p, tgt_r].set(desc_flat[order], mode="drop")
-    )
-    valid = (
-        jnp.zeros((P, max_obs), bool).at[tgt_p, tgt_r].set(True, mode="drop")
-    )
+    sorted_desc = desc_flat[order]
+    pids = jnp.arange(P_eff, dtype=sorted_pid.dtype)
+    base = jnp.searchsorted(sorted_pid, pids, side="left")   # (P',)
+    end = jnp.searchsorted(sorted_pid, pids, side="right")   # (P',)
+    idx = base[:, None] + jnp.arange(max_obs)[None, :]       # (P', max_obs)
+    valid = idx < end[:, None]
+    idx = jnp.minimum(idx, sorted_pid.shape[0] - 1)
+    table = sorted_desc[idx]                                  # (P', max_obs, 8)
 
     # Pairwise Hamming distances, accumulated per 32-bit word to bound the
-    # intermediate at (P, M, M) instead of (P, M, M, 8).
-    d = jnp.zeros((P, max_obs, max_obs), jnp.int32)
+    # intermediate at (P', M, M) instead of (P', M, M, 8).
+    d = jnp.zeros((P_eff, max_obs, max_obs), jnp.int32)
     for w in range(8):
         x = table[:, :, None, w] ^ table[:, None, :, w]
         d = d + jax.lax.population_count(x).astype(jnp.int32)
@@ -351,20 +381,26 @@ def compute_distinctive_descriptors(m: MapState, max_obs: int = 16) -> MapState:
 
     # Median over each candidate row (self-distance 0 included, matching
     # the reference's Dists[i][i]=0 and median index 0.5*(N-1)).
-    cnt = jnp.sum(valid, axis=1)  # (P,)
+    cnt = jnp.sum(valid, axis=1)  # (P',)
     d_sorted = jnp.sort(d, axis=2)  # invalid -> BIG, at the end
     med_idx = jnp.clip((cnt - 1) // 2, 0, max_obs - 1)
     median = jnp.take_along_axis(
         d_sorted,
-        jnp.broadcast_to(med_idx[:, None, None], (P, max_obs, 1)),
+        jnp.broadcast_to(med_idx[:, None, None], (P_eff, max_obs, 1)),
         axis=2,
     )[..., 0]
     median = jnp.where(valid, median, BIG)
-    best = jnp.argmin(median, axis=1)  # (P,)
+    best = jnp.argmin(median, axis=1)  # (P',)
     best_desc = jnp.take_along_axis(
-        table, jnp.broadcast_to(best[:, None, None], (P, 1, 8)), axis=1
+        table, jnp.broadcast_to(best[:, None, None], (P_eff, 1, 8)), axis=1
     )[:, 0, :]
 
+    if touched_kfs is not None:
+        upd = m.pt_valid[sel] & (cnt > 0) & sel_ok
+        pt_desc = m.pt_desc.at[sel].set(
+            jnp.where(upd[:, None], best_desc, m.pt_desc[sel]), mode="drop"
+        )
+        return m._replace(pt_desc=pt_desc)
     upd = m.pt_valid & (cnt > 0)
     return m._replace(
         pt_desc=jnp.where(upd[:, None], best_desc, m.pt_desc)

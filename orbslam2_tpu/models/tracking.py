@@ -965,12 +965,13 @@ class Tracker:
         )
         self.map = out.m
         self._next_ctx = out.next_ctx
-        # ONE readback per chunk: flags + poses + keyframe events.
-        flags = np.asarray(out.flags)
-        T_cw = np.asarray(out.T_cw)
-        T_cr = np.asarray(out.T_cr)
-        log_ref = np.asarray(out.log_ref)
-        kf_ids = np.asarray(out.kf_id)
+        # ONE readback per chunk: flags + poses + keyframe events, fetched
+        # as a single device_get (one ~30 ms sync on the axon tunnel — a
+        # per-array np.asarray loop would pay that five times, see
+        # tools/axon_probe.py).
+        flags, T_cw, T_cr, log_ref, kf_ids = jax.device_get(
+            (out.flags, out.T_cw, out.T_cr, out.log_ref, out.kf_id)
+        )
 
         mapped = False
         for j in range(len(buf)):
@@ -985,7 +986,7 @@ class Tracker:
             )
             if ok:
                 self.state = TrackState.OK
-                self.last_T = jnp.asarray(T_cw[j])
+                self.last_T = T_cw[j]  # numpy; converted at the arg boundary
                 self.n_tracked_history.append(n_in)
                 self.metrics["last_inliers"] = n_in
             else:
@@ -1547,15 +1548,29 @@ class Tracker:
         new_map = merge_tracking_stats(mapped, snapshot, self.map)
         # World re-anchor: T_cw_new = T_cw_old * T_rw_old^-1 * T_rw_new for
         # the tracker's reference keyframe (velocity is invariant to this
-        # right-multiplication).
+        # right-multiplication).  ONE batched readback for everything this
+        # adoption needs on the host (ref validity + poses + the pool
+        # state _reanchor_culled_refs/_maybe_compact consume) — serial
+        # np.asarray reads would pay the ~30 ms sync each.
         ref = self.ref_kf
-        if bool(new_map.kf_valid[ref]):
-            R = np.linalg.inv(np.asarray(snapshot.kf_pose_cw[ref])) @ \
-                np.asarray(new_map.kf_pose_cw[ref])
+        ctx_T_last = (
+            self._next_ctx.T_last if self._next_ctx is not None
+            else np.eye(4, dtype=np.float32)
+        )
+        (ref_valid, pose_snap, pose_new, kf_valid_np, n_kf_np,
+         ctx_T_last_np, last_T_np) = jax.device_get((
+            new_map.kf_valid[ref], snapshot.kf_pose_cw[ref],
+            new_map.kf_pose_cw[ref], new_map.kf_valid, new_map.n_kf,
+            ctx_T_last, self.last_T,
+        ))
+        if bool(ref_valid):
+            R = np.linalg.inv(pose_snap) @ pose_new
         else:
             R = np.eye(4)
+        self._host_kf_valid = kf_valid_np
+        self._host_n_kf = int(n_kf_np)
         self.map = new_map
-        self.last_T = jnp.asarray(np.asarray(self.last_T) @ R, jnp.float32)
+        self.last_T = np.asarray(last_T_np @ R, np.float32)
         if self.last_bindings is not None:
             self.last_bindings = jnp.where(
                 (self.last_bindings >= 0)
@@ -1570,31 +1585,34 @@ class Tracker:
             )
             self._next_ctx = self._next_ctx._replace(
                 last_bindings=lb,
-                T_last=jnp.asarray(
-                    np.asarray(self._next_ctx.T_last) @ R, jnp.float32
-                ),
+                T_last=jnp.asarray(ctx_T_last_np @ R, jnp.float32),
             )
-        self._reanchor_culled_refs()
-        self._maybe_compact()
+        self._reanchor_culled_refs(kf_valid=self._host_kf_valid)
+        self._maybe_compact(n_kf=self._host_n_kf)
 
     # -- keyframe-pool maintenance ------------------------------------------
 
-    def _reanchor_culled_refs(self):
+    def _reanchor_culled_refs(self, kf_valid=None):
         """Re-anchor trajectory entries whose reference keyframe was culled
         to its nearest valid ancestor — the reference replays bad keyframes
         through their spanning-tree parents at save time
         (System::SaveTrajectoryTUM, System.cc:≈270).  We do it eagerly while
         the culled pose is still consistent with the live map, so later
-        loop/BA corrections reach these frames through the ancestor."""
-        kf_valid = np.asarray(self.map.kf_valid)
+        loop/BA corrections reach these frames through the ancestor.
+
+        ``kf_valid``: host copy of map.kf_valid when the caller already
+        fetched one (adoption batches it) — saves a ~30 ms sync."""
+        if kf_valid is None:
+            kf_valid = np.asarray(self.map.kf_valid)
         refs = np.array([e[2] for e in self.trajectory], np.int64)
         if refs.size == 0:
             return
         bad = np.unique(refs[(refs >= 0) & ~kf_valid[np.maximum(refs, 0)]])
         if bad.size == 0:
             return
-        poses = np.asarray(self.map.kf_pose_cw)
-        parent = np.asarray(self.map.kf_parent)
+        poses, parent = jax.device_get(
+            (self.map.kf_pose_cw, self.map.kf_parent)
+        )
         anc = {}
         for r in bad.tolist():
             a = r
@@ -1612,12 +1630,17 @@ class Tracker:
             for fid, T_cr, ref, lost in self.trajectory
         ]
 
-    def _maybe_compact(self):
+    def _maybe_compact(self, n_kf=None):
         """Compact the keyframe pool when it nears capacity (culled slots
         are reclaimed; every id reference host and device side is remapped).
-        No-op while the pool has headroom or when nothing was culled."""
+        No-op while the pool has headroom or when nothing was culled.
+
+        ``n_kf``: host copy of map.n_kf when the caller already fetched one
+        (adoption batches it) — saves a ~30 ms sync."""
         cap = self.map.kf_capacity
-        if int(self.map.n_kf) < cap - 4:
+        if n_kf is None:
+            n_kf = int(self.map.n_kf)
+        if n_kf < cap - 4:
             return
         if (
             self.mapping_pipeline is not None

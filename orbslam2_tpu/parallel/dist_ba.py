@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..solvers.lie import hat, se3_exp
+from ..solvers.lie import hat, inv3x3, se3_exp
 from ..utils.camera import CameraModel
 from .mesh import MAP_AXIS
 
@@ -127,7 +127,7 @@ def make_distributed_ba_step(mesh: Mesh, cam: CameraModel, n_total_cams: int,
             tr[:, None, None] / 3.0, 1e-6
         )
         Hpp_inv = jnp.where(
-            active[:, None, None], jnp.linalg.inv(H_pp_d + 1e-9 * jnp.eye(3)), 0.0
+            active[:, None, None], inv3x3(H_pp_d + 1e-9 * jnp.eye(3)), 0.0
         )
 
         M = jnp.einsum("pcij,pjk->pcik", G, Hpp_inv)
@@ -142,7 +142,10 @@ def make_distributed_ba_step(mesh: Mesh, cam: CameraModel, n_total_cams: int,
         S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
         rhs = jnp.where(free6, rhs, 0.0)
 
-        delta_c_all = -jnp.linalg.solve(S, rhs).reshape(C, 6)
+        # Cholesky, not LU — see solvers/local_ba.py lm_step.
+        delta_c_all = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S, lower=True), rhs
+        ).reshape(C, 6)
         Gt_dc = jnp.einsum("pcij,ci->pj", G, delta_c_all)
         delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, b_p + Gt_dc)
         delta_p = jnp.where(active[:, None], delta_p, 0.0)
@@ -247,14 +250,16 @@ def distributed_local_ba(
     n_local: int = 8,
     n_fixed: int = 8,
     phase_iters: Tuple[int, int] = (5, 10),
+    pt_cap: int = 4096,
 ):
     """Local bundle adjustment with the camera window sharded over the mesh.
 
-    Same problem gather + write-back as ``local_bundle_adjustment``
-    (solvers/local_ba.py; Optimizer.cc:≈460), with the Schur LM engine run
-    cooperatively across devices.  The window is padded to a multiple of
-    the mesh size with unused cameras (zero-weight, identity rows in the
-    reduced system) so every shard holds an equal slice.
+    Same problem gather + landmark compaction + write-back as
+    ``local_bundle_adjustment`` (solvers/local_ba.py; Optimizer.cc:≈460),
+    with the Schur LM engine run cooperatively across devices.  The window
+    is padded to a multiple of the mesh size with unused cameras
+    (zero-weight, identity rows in the reduced system) so every shard holds
+    an equal slice; the compacted landmark set is replicated.
     """
     from ..models import map_state as ms
     from ..solvers.lie import orthonormalize_se3
@@ -281,12 +286,35 @@ def distributed_local_ba(
     obs_ok = obs_ok & m.pt_valid[pid]
     inv_s2 = inv_sigma2_lut[jnp.clip(lvl, 0, inv_sigma2_lut.shape[0] - 1)]
 
+    # Landmark compaction — IDENTICAL to local_bundle_adjustment so the
+    # sharded and single-device paths stay numerically twin (tests compare
+    # them): same top_k ranking, same remap, same scatter-back.
+    P = m.pt_capacity
+    pt_cap = min(pt_cap, P)
+    obs_cnt = (
+        jnp.zeros((P,), jnp.int32)
+        .at[pid.reshape(-1)]
+        .add(obs_ok.reshape(-1).astype(jnp.int32), mode="drop")
+    )
+    _, sel = jax.lax.top_k(obs_cnt, pt_cap)
+    sel = sel.astype(jnp.int32)
+    sel_in = obs_cnt[sel] > 0
+    g2l = jnp.full((P,), pt_cap, jnp.int32).at[sel].set(
+        jnp.arange(pt_cap, dtype=jnp.int32)
+    )
+    pid_l = g2l[pid]
+    obs_ok_l = obs_ok & (pid_l < pt_cap)
+    pid_l = jnp.where(obs_ok_l, pid_l, 0)
+    pts0 = m.pt_pos[sel]
+
     core = _sharded_core(mesh, cam, phase_iters, 0.0)
-    poses, pts, obs_mask, pt_in = core(
-        poses0, m.pt_pos, uv, ur, inv_s2, pid, obs_ok, is_fixed, used,
+    poses, pts_l, obs_mask, pt_in_l = core(
+        poses0, pts0, uv, ur, inv_s2, pid_l, obs_ok_l, is_fixed, used,
     )
 
-    new_rows = jnp.where(obs_ok & ~obs_mask, ms.NO_POINT, m.kf_point[cam_ids])
+    new_rows = jnp.where(
+        obs_ok_l & ~obs_mask, ms.NO_POINT, m.kf_point[cam_ids]
+    )
     kf_point = m.kf_point.at[cam_ids].set(
         jnp.where(used[:, None], new_rows, m.kf_point[cam_ids])
     )
@@ -296,7 +324,10 @@ def distributed_local_ba(
             m.kf_pose_cw[cam_ids],
         )
     )
-    pt_pos = jnp.where(pt_in[:, None], pts, m.pt_pos)
+    upd = pt_in_l & sel_in
+    pt_pos = m.pt_pos.at[sel].set(
+        jnp.where(upd[:, None], pts_l, m.pt_pos[sel]), mode="drop"
+    )
     return m._replace(kf_pose_cw=kf_pose, kf_point=kf_point, pt_pos=pt_pos)
 
 

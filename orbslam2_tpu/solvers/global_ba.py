@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..models import map_state as ms
 from ..utils.camera import CameraModel
-from .lie import hat, se3_exp
+from .lie import hat, inv3x3, se3_exp
 from .pose_opt import CHI2_MONO, CHI2_STEREO
 
 
@@ -139,7 +139,7 @@ def global_bundle_adjustment(
         tr = jnp.trace(H, axis1=-2, axis2=-1)
         ok = m.pt_valid & (tr > 1e-9)
         Hd = H + (1e-3 * jnp.maximum(tr, 1e-6) / 3.0)[:, None, None] * jnp.eye(3)
-        delta = -jnp.linalg.solve(Hd + 1e-9 * jnp.eye(3), b[..., None])[..., 0]
+        delta = -(inv3x3(Hd + 1e-9 * jnp.eye(3)) @ b[..., None])[..., 0]
         return jnp.where(ok[:, None], pts + delta, pts)
 
     poses = m.kf_pose_cw

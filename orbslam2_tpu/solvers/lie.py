@@ -241,6 +241,39 @@ def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray, dtype=jnp.float32) -> jnp.ndar
     return A[..., None, None] * I + b[..., None, None] * Phi + c[..., None, None] * Phi2
 
 
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse of batched (..., 3, 3) matrices.
+
+    jnp.linalg.inv lowers small batched inverses to LU on TPU — measured
+    ~14 ms per call at (16384, 3, 3) vs ~2 ms for this fully-vectorized
+    cofactor form; it sits inside every LM iteration of the Schur solvers
+    (landmark-block inversion), so the difference is ~12 ms x iterations
+    per bundle adjustment."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        -2,
+    )
+    return adj / det[..., None, None]
+
+
 def orthonormalize_se3(T: jnp.ndarray) -> jnp.ndarray:
     """Project the rotation block of (..., 4, 4) SE3 back onto SO(3) via
     SVD (nearest rotation).  The tracking velocity model composes

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..models import map_state as ms
 from ..utils.camera import CameraModel
-from .lie import hat, se3_exp
+from .lie import hat, inv3x3, se3_exp
 from .pose_opt import CHI2_MONO, CHI2_STEREO
 
 
@@ -209,7 +209,7 @@ def schur_ba_core(
         active = pt_in & (jnp.trace(H_pp, axis1=-2, axis2=-1) > 1e-9)
         Hpp_inv = jnp.where(
             active[:, None, None],
-            jnp.linalg.inv(H_pp_d + 1e-9 * jnp.eye(3)[None]),
+            inv3x3(H_pp_d + 1e-9 * jnp.eye(3)[None]),
             0.0,
         )
 
@@ -229,7 +229,12 @@ def schur_ba_core(
         S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
         rhs = jnp.where(free6, rhs, 0.0)
 
-        delta_c_all = -jnp.linalg.solve(S, rhs).reshape(C, 6)
+        # Cholesky, not LU: S is SPD after damping + identity fix rows, and
+        # XLA's LU path for jnp.linalg.solve costs ~3 ms at (96, 96) on TPU
+        # vs <1 ms for cho_solve — this sits in every LM iteration.
+        delta_c_all = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S, lower=True), rhs
+        ).reshape(C, 6)
         # Back-substitute points: delta_p = -Hpp_inv (b_p + G^T delta_c).
         Gt_dc = jnp.einsum("pcij,ci->pj", G, delta_c_all)
         delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, b_p + Gt_dc)
@@ -256,19 +261,22 @@ def schur_ba_core(
     for phase, (iters, robust) in enumerate(
         zip(phase_iters, (True, False) if len(phase_iters) > 1 else (True,))
     ):
+        # Carry the accepted cost across iterations: ONE residual pass per
+        # LM iteration instead of two (the candidate's cost becomes the
+        # incumbent's on accept).  psum'd scalar costs -> the accept
+        # decision and lam schedule are identical on every shard.
+        err_cur = psum(
+            jnp.sum(jnp.where(obs_mask, chi2_of(poses, pts, obs_mask), 0.0))
+        )
         for _ in range(iters):
-            # psum'd scalar costs -> the accept decision and lam schedule
-            # are identical on every shard.
-            err0 = psum(
-                jnp.sum(jnp.where(obs_mask, chi2_of(poses, pts, obs_mask), 0.0))
-            )
             poses_new, pts_new = lm_step(poses, pts, obs_mask, lam, robust)
-            err1 = psum(jnp.sum(
+            err_new = psum(jnp.sum(
                 jnp.where(obs_mask, chi2_of(poses_new, pts_new, obs_mask), 0.0)
             ))
-            accept = err1 < err0
+            accept = err_new < err_cur
             poses = jnp.where(accept, poses_new, poses)
             pts = jnp.where(accept, pts_new, pts)
+            err_cur = jnp.where(accept, err_new, err_cur)
             lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e2)
         # chi2 outlier pruning between phases (and after the last).
         chi2 = chi2_of(poses, pts, obs_mask)
@@ -277,7 +285,7 @@ def schur_ba_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_local", "n_fixed", "phase_iters")
+    jax.jit, static_argnames=("n_local", "n_fixed", "phase_iters", "pt_cap")
 )
 def local_bundle_adjustment(
     m: ms.MapState,
@@ -287,6 +295,7 @@ def local_bundle_adjustment(
     n_local: int = 8,
     n_fixed: int = 8,
     phase_iters: Tuple[int, int] = (5, 10),
+    pt_cap: int = 4096,
 ) -> ms.MapState:
     cam_ids, is_fixed, used = _gather_problem(m, kf_id, n_local, n_fixed)
 
@@ -302,15 +311,42 @@ def local_bundle_adjustment(
     obs_ok = obs_ok & m.pt_valid[pid]
     inv_s2 = inv_sigma2_lut[jnp.clip(lvl, 0, inv_sigma2_lut.shape[0] - 1)]
 
-    poses, pts, obs_mask, pt_in = schur_ba_core(
-        poses0, m.pt_pos, uv, ur, inv_s2, pid, obs_ok, is_fixed, used, cam,
+    # COMPACT the landmark axis: the solver's per-iteration cost is linear
+    # in its point-array length (landmark-block inversion, Schur G tensor,
+    # scatter-adds), and the window's points are a small fraction of the
+    # full pool.  Gather the participating points (ranked by in-window
+    # observation count) into a (pt_cap,) set, remap pid, and scatter the
+    # optimized positions back.  pt_cap >= C*N/4 covers every realistic
+    # window; beyond-cap stragglers keep their old positions (their
+    # observations are masked out of the solve).
+    P = m.pt_capacity
+    pt_cap = min(pt_cap, P)
+    obs_cnt = (
+        jnp.zeros((P,), jnp.int32)
+        .at[pid.reshape(-1)]
+        .add(obs_ok.reshape(-1).astype(jnp.int32), mode="drop")
+    )
+    _, sel = jax.lax.top_k(obs_cnt, pt_cap)
+    sel = sel.astype(jnp.int32)
+    sel_in = obs_cnt[sel] > 0                # (pt_cap,)
+    g2l = jnp.full((P,), pt_cap, jnp.int32).at[sel].set(
+        jnp.arange(pt_cap, dtype=jnp.int32)
+    )
+    pid_l = g2l[pid]                         # (C, N) into the compact set
+    obs_ok_l = obs_ok & (pid_l < pt_cap)
+    pid_l = jnp.where(obs_ok_l, pid_l, 0)
+    pts0 = m.pt_pos[sel]                     # (pt_cap, 3)
+
+    poses, pts_l, obs_mask, pt_in_l = schur_ba_core(
+        poses0, pts0, uv, ur, inv_s2, pid_l, obs_ok_l, is_fixed, used, cam,
         phase_iters,
     )
 
-    # Write back: poses, points, and unbind outlier observations.
+    # Write back: poses, points (scatter the compact set), and unbind
+    # outlier observations.
     kf_point = m.kf_point
     new_rows = jnp.where(
-        obs_ok & ~obs_mask, ms.NO_POINT, m.kf_point[cam_ids]
+        obs_ok_l & ~obs_mask, ms.NO_POINT, m.kf_point[cam_ids]
     )
     kf_point = kf_point.at[cam_ids].set(
         jnp.where(used[:, None], new_rows, m.kf_point[cam_ids])
@@ -323,7 +359,10 @@ def local_bundle_adjustment(
             m.kf_pose_cw[cam_ids],
         )
     )
-    pt_pos = jnp.where(pt_in[:, None], pts, m.pt_pos)
+    upd = pt_in_l & sel_in
+    pt_pos = m.pt_pos.at[sel].set(
+        jnp.where(upd[:, None], pts_l, m.pt_pos[sel]), mode="drop"
+    )
     return m._replace(kf_pose_cw=kf_pose, kf_point=kf_point, pt_pos=pt_pos)
 
 
