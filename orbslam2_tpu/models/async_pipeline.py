@@ -80,7 +80,7 @@ class AsyncMappingPipeline:
         self.loop_closer = loop_closer
         self.device = device
         self._thread: Optional[threading.Thread] = None
-        self._result = None        # (m_mapped, snapshot, kf_id)
+        self._result = None        # (m_mapped, snapshot, kf_id, pool_state)
         self._error = None
         self._lock = threading.Lock()
         self.abort_gba = threading.Event()  # InterruptBA / mbStopGBA analog
@@ -119,8 +119,9 @@ class AsyncMappingPipeline:
                 # is still in flight.  Publishing "early" only means the
                 # queue keeps draining while the tracker decides when to
                 # adopt.
+                pool = getattr(self.loop_closer, "pool_state", None)
                 with self._lock:
-                    self._result = (mm, snapshot, int(kf_id))
+                    self._result = (mm, snapshot, int(kf_id), pool)
             except BaseException as e:  # propagate into the main thread
                 with self._lock:
                     self._error = e

@@ -93,6 +93,7 @@ class KeyframeDatabase:
             self.bow = jnp.zeros((kf_capacity, vocab.n_words), jnp.float32)
         self.has_entry = jnp.zeros((kf_capacity,), bool)
         self._feat_capacity = feat_capacity
+        self.last_extras = None  # host copies from the last batched query
         # Per-keyframe feature node ids (DBoW2 FeatureVector) for node-
         # gated SearchByBoW; allocated on first add (per-slot feature dim).
         self.db_nodes: Optional[jnp.ndarray] = None
@@ -181,13 +182,17 @@ class KeyframeDatabase:
         common: jnp.ndarray,
         eligible: jnp.ndarray,
         n_candidates: int,
+        extras=None,
     ) -> Tuple[np.ndarray, np.ndarray, dict]:
         """Steps 1+3+4 of the reference logic, shared by loop + reloc.
 
         Returns (ids, acc_scores, covis_groups) where covis_groups maps a
         candidate id to the set of keyframe ids covisible with it — read
         back in the SAME device_get as the scores so consistency tracking
-        costs no extra sync."""
+        costs no extra sync.  ``extras``: optional pytree of device arrays
+        piggybacked on that device_get; the host copies land in
+        ``self.last_extras`` (callers use this to fetch pool state without
+        paying another sync)."""
         eligible = eligible & (common > 0)
         max_common = jnp.max(jnp.where(eligible, common, 0.0))
         shortlist = eligible & (common > 0.8 * max_common)
@@ -201,8 +206,8 @@ class KeyframeDatabase:
             m, short_ids.astype(jnp.int32), short_ok, sl_scores, shortlist
         )
         # ONE host sync for the whole candidate decision.
-        acc, best_kf, rows, sl = jax.device_get(
-            (acc_d, best_kf_d, rows_d, short_ids)
+        acc, best_kf, rows, sl, self.last_extras = jax.device_get(
+            (acc_d, best_kf_d, rows_d, short_ids, extras)
         )
         if not (acc > 0).any():
             return np.zeros(0, np.int64), np.zeros(0), {}
@@ -259,6 +264,7 @@ class KeyframeDatabase:
         m: ms.MapState,
         kf_id: int,
         n_candidates: int = 3,
+        extras=None,
     ) -> Tuple[np.ndarray, np.ndarray, dict]:
         """KeyFrameDatabase::DetectLoopCandidates (≈90): common-word
         prefilter, covisible exclusion, min-score gate, covisibility-group
@@ -279,7 +285,9 @@ class KeyframeDatabase:
             & (jnp.arange(K) != kf_id)
             & (scores >= jnp.maximum(min_score, 1e-9))
         )
-        return self._grouped_candidates(m, scores, common, eligible, n_candidates)
+        return self._grouped_candidates(
+            m, scores, common, eligible, n_candidates, extras=extras
+        )
 
     def detect_relocalization_candidates(
         self,

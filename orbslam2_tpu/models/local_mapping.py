@@ -223,11 +223,16 @@ def cull_keyframes(
     participate, as in the reference's !mbMonocular depth gate."""
     pts = m.kf_point
     ok = (pts >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    # Stereo/RGB-D close gate: applies ONLY to the candidate keyframe's own
+    # counted observations (the reference gates mvDepth of the examined KF,
+    # LocalMapping.cc:≈520) — other keyframes' far observations still count
+    # toward the per-level observer totals below.
+    ok_counted = ok
     if bf > 0.0 and th_depth > 0.0:
         # depth = bf / (u - ur); close <=> disparity > bf / th_depth.
         disp = m.kf_xy[..., 0] - m.kf_ur
         close = (m.kf_ur >= 0) & (disp > bf / th_depth)
-        ok = ok & close
+        ok_counted = ok & close
     pid = jnp.where(ok, pts, 0)
     P = m.pt_capacity
     lvl = jnp.clip(m.kf_level, 0, n_levels - 1)
@@ -240,8 +245,8 @@ def cull_keyframes(
     cum = jnp.cumsum(cnt, axis=1)  # observers at octave <= l
     band = jnp.minimum(lvl + 1, n_levels - 1)
     # -1: exclude the observation itself (it is within its own band).
-    redundant_obs = ok & (cum[pid, band] - 1 >= 3)
-    n_pts = jnp.sum(ok, axis=1)
+    redundant_obs = ok_counted & (cum[pid, band] - 1 >= 3)
+    n_pts = jnp.sum(ok_counted, axis=1)
     n_red = jnp.sum(redundant_obs, axis=1)
     kf_ids = jnp.arange(m.kf_capacity)
     cullable = (

@@ -64,13 +64,22 @@ def loop_edge_residuals(T_cw: np.ndarray, loop_edges) -> list:
     return out
 
 
-def loop_edges_still_closed(before: list, after: list) -> bool:
+def loop_edges_still_closed(
+    before: list, after: list, scene_scale: float = 1.0
+) -> bool:
     """GBA acceptance guard: a healthy map's BA optimum agrees with the
     verified loop edges, so their residuals stay put (movement ~ noise);
     clear multiplicative growth means BA is relaxing the trajectory back
-    toward pre-loop drift and the result must be rejected."""
+    toward pre-loop drift and the result must be rejected.
+
+    ``scene_scale``: a metric scene unit (median consecutive-keyframe
+    baseline).  The additive slack scales with it — res0 is ~0 right after
+    the pose-graph correction, so a FIXED 5 mm slack would reject every
+    legitimate GBA refinement on maps whose baselines are meters; 3% of a
+    baseline is refinement noise, 5%+ is the seam re-opening."""
+    slack_t = max(0.005, 0.03 * scene_scale)
     for (dt0, a0), (dt1, a1) in zip(before, after):
-        if dt1 > 1.25 * dt0 + 0.005 or a1 > 1.25 * a0 + 0.1:
+        if dt1 > 1.25 * dt0 + slack_t or a1 > 1.25 * a0 + 0.25:
             return False
     return True
 
@@ -131,6 +140,10 @@ class LoopCloser:
         self.key = jax.random.PRNGKey(7)
         # Consistency tracking (LoopClosing::DetectLoop's consistent groups).
         self.candidate_streak: dict = {}
+        # (kf_valid numpy, n_kf int) captured from the last detection's
+        # batched readback — the post-mapping pool state the tracker's
+        # adoption maintenance consumes without paying its own sync.
+        self.pool_state = None
         self.last_loop_kf = -100
         # Accepted loop edges for the essential graph.
         self.loop_edges: List[Tuple[int, int, np.ndarray]] = []
@@ -166,15 +179,22 @@ class LoopCloser:
         """Returns the (possibly loop-corrected) map.  ``abort`` is an
         optional threading.Event checked between GBA segments (mbStopGBA)."""
         self._abort = abort
+        self.pool_state = None  # set per job by the detection readback
         # Reference skips detection within 10 KFs of the last loop.  The
         # keyframe count gate uses the pool slot id (slots are monotonic;
         # kf_id + 1 <= n_kf) instead of reading n_kf back from the device —
         # every host sync costs ~30 ms on the axon tunnel.
         if kf_id - self.last_loop_kf < 10 or kf_id + 1 < 8:
             return m
-        # Candidate query + each candidate's covisible group arrive in ONE
+        # Candidate query + each candidate's covisible group + the pool
+        # state (for the tracker's adoption-time maintenance) arrive in ONE
         # batched readback (kf_database._grouped_candidates).
-        cand_ids, _, covis_groups = self.db.detect_loop_candidates(m, kf_id)
+        cand_ids, _, covis_groups = self.db.detect_loop_candidates(
+            m, kf_id, extras=(m.kf_valid, m.n_kf)
+        )
+        if self.db.last_extras is not None:
+            kv, nk = self.db.last_extras
+            self.pool_state = (kv, int(nk))
         # Consistency: a candidate (or its covisible group) must persist 3
         # consecutive keyframes.
         new_streak = {}
@@ -472,7 +492,25 @@ class LoopCloser:
             return loop_edge_residuals(np.asarray(mm.kf_pose_cw),
                                        self.loop_edges)
 
-        seam_ok = loop_edges_still_closed
+        # Scene scale for the seam-guard slack: median baseline between
+        # consecutive valid keyframes (one batched readback).
+        poses0, valid0 = jax.device_get((m.kf_pose_cw, m.kf_valid))
+        ids = np.nonzero(valid0)[0]
+        if len(ids) >= 2:
+            centers = np.stack(
+                [-poses0[k][:3, :3].T @ poses0[k][:3, 3] for k in ids]
+            )
+            scene_scale = float(np.median(
+                np.linalg.norm(np.diff(centers, axis=0), axis=1)
+            ))
+        else:
+            scene_scale = 1.0
+
+        def seam_ok(res_before, res_after):
+            return loop_edges_still_closed(
+                res_before, res_after, scene_scale=scene_scale
+            )
+
         res0 = seam_residuals(m)
 
         if self.gba_mode == "joint":

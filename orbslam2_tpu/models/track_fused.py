@@ -270,6 +270,11 @@ class ChunkOut(NamedTuple):
     T_cr: jnp.ndarray     # (C, 4, 4) pose relative to the log ref KF
     log_ref: jnp.ndarray  # (C,) int32 ref-KF id for the trajectory entry
     kf_id: jnp.ndarray    # (C,) int32 created keyframe id, -1 if none
+    # Pool state piggybacked on the chunk readback so maintenance decisions
+    # (compaction trigger, culled-ref re-anchoring) never need their own
+    # ~30 ms host sync.
+    kf_valid: jnp.ndarray  # (K,) bool
+    n_kf: jnp.ndarray      # int32
 
 
 # Compiled-tracker cache: a fresh Tracker/SlamSystem with the SAME
@@ -402,7 +407,7 @@ def make_fused_chunk_tracker(
         (m, ctx, _), ys = jax.lax.scan(
             scan_body, (m, ctx, fid0), img_stacks
         )
-        return ChunkOut(m, ctx, *ys)
+        return ChunkOut(m, ctx, *ys, kf_valid=m.kf_valid, n_kf=m.n_kf)
 
     donate = (n_inputs,) if donate_map else ()
     jitted = jax.jit(chunk, donate_argnums=donate)

@@ -531,6 +531,7 @@ class Tracker:
         # over frames.
         self.chunk = int(chunk)
         self._chunk_buf = []   # [(inputs tuple), ...] awaiting dispatch
+        self._pending_chunk = None  # lag-1 in-flight chunk (fid0, buf, out)
         self._chunk_step = None
         # Pipelined driver mode: per-frame decision flags are read back
         # with a ONE-FRAME lag so the host never blocks on the device —
@@ -577,6 +578,11 @@ class Tracker:
         self.last_kf_frame_id = 0
         self.init_ref: Optional[Frame] = None
         self.init_key = jax.random.PRNGKey(0)
+        # Host copies of the pool state from the last chunk readback (see
+        # _dispatch_chunk / _adopt) — maintenance reads these instead of
+        # paying a dedicated device sync.
+        self._host_kf_valid = None
+        self._host_n_kf = None
         # Trajectory: list of (frame_id, T_cw 4x4 numpy, ref_kf, is_lost)
         self.trajectory = []
         self.n_tracked_history = []
@@ -792,6 +798,9 @@ class Tracker:
     def flush(self):
         """Resolve all in-flight frames (call at sequence end / before
         trajectory export)."""
+        if self._pending_chunk is not None:
+            pc, self._pending_chunk = self._pending_chunk, None
+            self._resolve_chunk(getattr(self, "_fused_sensor", "mono"), *pc)
         if self._chunk_buf:
             # Tail of a chunked run (< C frames buffered): run them through
             # the single-frame fused path on the same device-chained ctx.
@@ -936,9 +945,23 @@ class Tracker:
         return self.last_T
 
     def _dispatch_chunk(self, sensor: str):
-        from .track_fused import (
-            FLAG_N_INLIERS, FLAG_NEED_KF, FLAG_OK, FLAG_PATH,
-        )
+        # Lag policy: while a mapping job is in flight, the previous
+        # chunk's resolution is deferred to AFTER this dispatch (lag-1) so
+        # its readback sync (~30 ms on the axon tunnel) and host
+        # bookkeeping overlap this chunk's device compute — keyframes are
+        # deferred during job flight anyway, so nothing is delayed by it.
+        # When the pipeline is idle, resolve FIRST (lag-0): the pending
+        # chunk may hold a keyframe whose mapping job should start NOW —
+        # an extra chunk of mapping lag costs measurable drift on
+        # fast-turning sequences.  flush() resolves the final pending.
+        mp = self.mapping_pipeline
+        self._poll_adopt()
+        if self._pending_chunk is not None and (
+            mp is None or mp.accept_keyframes()
+        ):
+            pc, self._pending_chunk = self._pending_chunk, None
+            self._resolve_chunk(sensor, *pc)
+            self._poll_adopt()
 
         buf, self._chunk_buf = self._chunk_buf, []
         fid0 = self.frame_id
@@ -946,12 +969,10 @@ class Tracker:
         stacks = tuple(
             jnp.stack([b[i] for b in buf]) for i in range(len(buf[0]))
         )
-        # Async mapping: adopt any finished job; while one is in flight the
-        # chunk runs with keyframes disabled (SetAcceptKeyFrames(false))
-        # unless the gap is urgent, in which case block-adopt first.
-        self._poll_adopt()
+        # While a job is in flight the chunk runs with keyframes disabled
+        # (SetAcceptKeyFrames(false)) unless the gap is urgent, in which
+        # case block-adopt first.
         allow_kf = not self.localization_only
-        mp = self.mapping_pipeline
         if mp is not None and not mp.accept_keyframes():
             if fid0 - self.last_kf_frame_id >= self.kf_urgent_gap:
                 self._adopt(mp.wait())
@@ -965,13 +986,37 @@ class Tracker:
         )
         self.map = out.m
         self._next_ctx = out.next_ctx
+        prev, self._pending_chunk = self._pending_chunk, (fid0, buf, out)
+        if prev is not None:
+            self._resolve_chunk(sensor, *prev)
+
+    def _resolve_chunk(self, sensor: str, fid0: int, buf, out):
+        from .track_fused import (
+            FLAG_N_INLIERS, FLAG_NEED_KF, FLAG_OK, FLAG_PATH,
+        )
+
+        self._resolving = True
+        try:
+            return self._resolve_chunk_inner(sensor, fid0, buf, out)
+        finally:
+            self._resolving = False
+
+    def _resolve_chunk_inner(self, sensor: str, fid0: int, buf, out):
+        from .track_fused import (
+            FLAG_N_INLIERS, FLAG_NEED_KF, FLAG_OK, FLAG_PATH,
+        )
         # ONE readback per chunk: flags + poses + keyframe events, fetched
         # as a single device_get (one ~30 ms sync on the axon tunnel — a
         # per-array np.asarray loop would pay that five times, see
         # tools/axon_probe.py).
-        flags, T_cw, T_cr, log_ref, kf_ids = jax.device_get(
-            (out.flags, out.T_cw, out.T_cr, out.log_ref, out.kf_id)
+        (flags, T_cw, T_cr, log_ref, kf_ids, kf_valid_np, n_kf_np) = (
+            jax.device_get((
+                out.flags, out.T_cw, out.T_cr, out.log_ref, out.kf_id,
+                out.kf_valid, out.n_kf,
+            ))
         )
+        self._host_kf_valid = kf_valid_np
+        self._host_n_kf = int(n_kf_np)
 
         mapped = False
         for j in range(len(buf)):
@@ -1064,7 +1109,28 @@ class Tracker:
                     break
                 j_r += 1
             if ok_r:
-                n_requeue = len(buf) - 1 - j_r
+                # Lag-1 interplay: a NEXT chunk may already be in flight,
+                # dispatched from the pre-reloc (garbage) context.  If it
+                # created no keyframes (the overwhelmingly common case for
+                # garbage tracking — need_kf requires ok), discard it and
+                # requeue its frames after this chunk's tail so everything
+                # re-tracks in order from the relocalized context.  If it
+                # DID create a keyframe it recovered on its own: keep it,
+                # resolve it in order, and skip the rewind (the frames
+                # between loss and its recovery stay lost — exactly the
+                # reference's behavior while Relocalization keeps failing).
+                extra = []
+                pend_recovered = False
+                if self._pending_chunk is not None:
+                    pf0, pbuf, pout = self._pending_chunk
+                    pend_kfs = jax.device_get(pout.kf_id)
+                    if (np.asarray(pend_kfs) >= 0).any():
+                        pend_recovered = True
+                    else:
+                        self._pending_chunk = None
+                        extra = list(pbuf)
+                        self.frame_id -= len(pbuf)
+                n_requeue = (len(buf) - 1 - j_r) if not pend_recovered else 0
                 if n_requeue > 0:
                     # Rewind the garbage tail: those frames re-enter the
                     # buffer and are re-tracked from the relocalized ctx
@@ -1077,7 +1143,11 @@ class Tracker:
                     self.metrics["frames_lost"] -= int(
                         (~ok_col[j_r + 1:]).sum()
                     )
-                    self._chunk_buf = list(buf[j_r + 1:]) + self._chunk_buf
+                    self._chunk_buf = (
+                        list(buf[j_r + 1:]) + extra + self._chunk_buf
+                    )
+                elif extra:
+                    self._chunk_buf = extra + self._chunk_buf
                 self.state = TrackState.OK
                 self.last_T = T
                 self.n_tracked_history.append(int(n_r))
@@ -1094,22 +1164,25 @@ class Tracker:
                 # Identity-velocity motion continuation from the reloc
                 # bindings (see _resolve_pending): stronger than the
                 # descriptor-global ref-KF fallback on ambiguous texture.
-                self._next_ctx = self._next_ctx._replace(
-                    T_last=jnp.asarray(T, jnp.float32),
-                    has_velocity=jnp.asarray(True),
-                    velocity=jnp.eye(4, dtype=jnp.float32),
-                    last_bindings=jnp.where(
-                        bindings_r >= 0, bindings_r,
-                        jnp.full_like(bindings_r, NO_POINT),
-                    ),
-                    last_xy=frame.xy,
-                    last_level=frame.level,
-                    last_depth=frame.depth,
-                    last_desc=frame.desc,
-                    last_valid=frame.valid,
-                    last_angle=frame.angle,
-                    ref_kf=jnp.int32(self.ref_kf),
-                )
+                # Skipped when the in-flight chunk recovered on its own —
+                # its chained context is live and must not be clobbered.
+                if not pend_recovered:
+                    self._next_ctx = self._next_ctx._replace(
+                        T_last=jnp.asarray(T, jnp.float32),
+                        has_velocity=jnp.asarray(True),
+                        velocity=jnp.eye(4, dtype=jnp.float32),
+                        last_bindings=jnp.where(
+                            bindings_r >= 0, bindings_r,
+                            jnp.full_like(bindings_r, NO_POINT),
+                        ),
+                        last_xy=frame.xy,
+                        last_level=frame.level,
+                        last_depth=frame.depth,
+                        last_desc=frame.desc,
+                        last_valid=frame.valid,
+                        last_angle=frame.angle,
+                        ref_kf=jnp.int32(self.ref_kf),
+                    )
 
     def _build_frame(self, sensor: str, inputs) -> Frame:
         if sensor == "mono":
@@ -1371,10 +1444,16 @@ class Tracker:
         return cur_n
 
     def _stereo_initialize(self, frame: Frame):
+        # Reference gate: initialize when the frame carries > 500 features
+        # (Tracking.cc:≈500, StereoInitialization's N>500).  At production
+        # feature budgets (>= 1000) that gate applies verbatim; fixture
+        # configs with < 500-feature capacity scale it to half the capacity
+        # so the tests' 96x128 frames can still initialize.
+        cap = int(frame.valid.shape[0])
+        gate = 500 if cap >= 1000 else max(20, cap // 2)
         n_depth = int(((frame.depth > 0) & frame.valid).sum())
-        if n_depth < 500 // 5:  # reference wants 500 features; scaled caps
-            if int(frame.valid.sum()) < 100:
-                return
+        if n_depth < gate and int(frame.valid.sum()) < gate:
+            return
         T0 = jnp.eye(4)
         pos_w, ok = unproject_frame_depth(frame, T0, self.cam)
         m, pids = add_points(self.map, pos_w, frame.desc, ok, jnp.int32(0))
@@ -1437,6 +1516,7 @@ class Tracker:
             self.database.frame_nodes(frame.desc, frame.valid)
             if len(cands) else None
         )
+        retries_left = 3
         for c in cands:
             self.init_key, sub = jax.random.split(self.init_key)
             kf_nodes = self.database.nodes_for(int(c))
@@ -1445,12 +1525,19 @@ class Tracker:
                 self.cam, sub,
                 kf_nodes=kf_nodes, frame_nodes=frame_nodes,
             )
-            if not bool(pnp_ok) or int(n_in) < 10:
+            if (not bool(pnp_ok) or int(n_in) < 10) and (
+                int(n_match) >= 8 and retries_left > 0
+            ):
                 # Second chance with a looser ratio, no node gate, and more
                 # PnP hypotheses — the analog of the reference's widening
                 # SearchByProjection retry (Tracking.cc:≈1370): when the
                 # vocabulary is weak or the texture ambiguous, the 0.75
                 # ratio starves RANSAC below its minimal-sample odds.
+                # Retried only when the first pass found a plausible match
+                # count, and at most 3x per relocalization call: 8 wide-
+                # ratio 8192-hypothesis retries per lost frame was a large
+                # wall-clock hit on textured-but-unmappable frames.
+                retries_left -= 1
                 self.init_key, sub = jax.random.split(self.init_key)
                 T, bindings, n_in, n_match, pnp_ok = relocalize_candidate(
                     self.map, frame, jnp.int32(int(c)), self.inv_sigma2,
@@ -1544,33 +1631,22 @@ class Tracker:
             return
         from .async_pipeline import merge_tracking_stats
 
-        mapped, snapshot, _kf = result
+        mapped, snapshot, _kf, pool_state = result
         new_map = merge_tracking_stats(mapped, snapshot, self.map)
         # World re-anchor: T_cw_new = T_cw_old * T_rw_old^-1 * T_rw_new for
         # the tracker's reference keyframe (velocity is invariant to this
-        # right-multiplication).  ONE batched readback for everything this
-        # adoption needs on the host (ref validity + poses + the pool
-        # state _reanchor_culled_refs/_maybe_compact consume) — serial
-        # np.asarray reads would pay the ~30 ms sync each.
-        ref = self.ref_kf
-        ctx_T_last = (
-            self._next_ctx.T_last if self._next_ctx is not None
-            else np.eye(4, dtype=np.float32)
+        # right-multiplication).  Computed ON DEVICE — adoption itself
+        # performs NO host sync: the pool state its maintenance needs rides
+        # the loop-detection readback the worker already paid (pool_state),
+        # falling back to the last chunk readback's copy.
+        ref = jnp.int32(self.ref_kf)
+        R = jnp.where(
+            new_map.kf_valid[ref],
+            se3_inverse(snapshot.kf_pose_cw[ref]) @ new_map.kf_pose_cw[ref],
+            jnp.eye(4, dtype=jnp.float32),
         )
-        (ref_valid, pose_snap, pose_new, kf_valid_np, n_kf_np,
-         ctx_T_last_np, last_T_np) = jax.device_get((
-            new_map.kf_valid[ref], snapshot.kf_pose_cw[ref],
-            new_map.kf_pose_cw[ref], new_map.kf_valid, new_map.n_kf,
-            ctx_T_last, self.last_T,
-        ))
-        if bool(ref_valid):
-            R = np.linalg.inv(pose_snap) @ pose_new
-        else:
-            R = np.eye(4)
-        self._host_kf_valid = kf_valid_np
-        self._host_n_kf = int(n_kf_np)
         self.map = new_map
-        self.last_T = np.asarray(last_T_np @ R, np.float32)
+        self.last_T = jnp.asarray(self.last_T, jnp.float32) @ R
         if self.last_bindings is not None:
             self.last_bindings = jnp.where(
                 (self.last_bindings >= 0)
@@ -1585,10 +1661,22 @@ class Tracker:
             )
             self._next_ctx = self._next_ctx._replace(
                 last_bindings=lb,
-                T_last=jnp.asarray(ctx_T_last_np @ R, jnp.float32),
+                T_last=self._next_ctx.T_last @ R,
             )
-        self._reanchor_culled_refs(kf_valid=self._host_kf_valid)
-        self._maybe_compact(n_kf=self._host_n_kf)
+        if pool_state is not None:
+            kf_valid_np, n_kf = pool_state
+        elif self._host_kf_valid is not None:
+            # Chunk-readback copy: at most one chunk stale, which is safe —
+            # keyframe slots are only reused at compaction, and compaction
+            # re-fetches (it block-adopts + reads exactly).
+            kf_valid_np, n_kf = self._host_kf_valid, self._host_n_kf
+        else:
+            kf_valid_np, n_kf = jax.device_get(
+                (self.map.kf_valid, self.map.n_kf)
+            )
+            n_kf = int(n_kf)
+        self._reanchor_culled_refs(kf_valid=kf_valid_np)
+        self._maybe_compact(n_kf=n_kf)
 
     # -- keyframe-pool maintenance ------------------------------------------
 
@@ -1642,6 +1730,18 @@ class Tracker:
             n_kf = int(self.map.n_kf)
         if n_kf < cap - 4:
             return
+        if self._pending_chunk is not None:
+            # Compaction renumbers keyframe slots; the in-flight chunk's
+            # unread outputs (created-KF ids, trajectory refs) use the old
+            # numbering — resolve it first.  Rare (pool-full events only).
+            # Mid-resolution (re-entrant via _adopt) this defers instead:
+            # resolving the newer chunk out of order would scramble the
+            # trajectory, and the cap-4 margin covers one cycle of delay.
+            if getattr(self, "_resolving", False):
+                return
+            pc, self._pending_chunk = self._pending_chunk, None
+            self._resolve_chunk(getattr(self, "_fused_sensor", "mono"), *pc)
+            return self._maybe_compact()  # re-check with post-resolve state
         if (
             self.mapping_pipeline is not None
             and not self.mapping_pipeline.accept_keyframes()

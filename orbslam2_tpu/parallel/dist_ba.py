@@ -42,6 +42,7 @@ class ShardedBAProblem(NamedTuple):
     inv_s2:   (C, N)     information weights
     is_fixed: (C,)       gauge/fixed mask
     points:   (P, 3)     landmarks (replicated)
+    ur:       (C, N)     stereo right-u measurement (<0 = mono observation)
     """
 
     poses: jnp.ndarray
@@ -51,9 +52,15 @@ class ShardedBAProblem(NamedTuple):
     inv_s2: jnp.ndarray
     is_fixed: jnp.ndarray
     points: jnp.ndarray
+    ur: jnp.ndarray = None  # None = all-mono problem
 
 
-def _residuals_mono(poses, pts, uv, pid, cam: CameraModel):
+def _residuals_mono(poses, pts, uv, pid, cam: CameraModel, ur=None):
+    """Residuals + Jacobians for the one-step primitive.  With ``ur`` the
+    third (stereo right-u) residual row is included per observation where
+    ur >= 0 — the EdgeStereoSE3ProjectXYZ term the reference's BA carries
+    for stereo/RGB-D bindings (Optimizer.cc:≈500); without it the kept
+    minimal-latency step silently dropped ur residuals on stereo data."""
     R = poses[:, :3, :3]
     t = poses[:, :3, 3]
     X = pts[jnp.maximum(pid, 0)]
@@ -63,14 +70,27 @@ def _residuals_mono(poses, pts, uv, pid, cam: CameraModel):
     zi2 = zi * zi
     u = cam.fx * x * zi + cam.cx
     v = cam.fy * y * zi + cam.cy
-    r = jnp.stack([u - uv[..., 0], v - uv[..., 1]], axis=-1)
+    if ur is None:
+        ur = jnp.full_like(u, -1.0)
+    has_ur = ur >= 0
+    upred_r = u - cam.bf * zi
+    r = jnp.stack(
+        [u - uv[..., 0], v - uv[..., 1],
+         jnp.where(has_ur, upred_r - ur, 0.0)], axis=-1
+    )
     zeros = jnp.zeros_like(x)
     J_proj = jnp.stack(
         [
             jnp.stack([cam.fx * zi, zeros, -cam.fx * x * zi2], -1),
             jnp.stack([zeros, cam.fy * zi, -cam.fy * y * zi2], -1),
+            jnp.stack(
+                [cam.fx * zi, zeros, (-cam.fx * x + cam.bf) * zi2], -1
+            ),
         ],
         axis=-2,
+    )
+    J_proj = J_proj.at[..., 2, :].set(
+        jnp.where(has_ur[..., None], J_proj[..., 2, :], 0.0)
     )
     I3 = jnp.broadcast_to(jnp.eye(3), pc.shape + (3,))
     J_cam = J_proj @ jnp.concatenate([I3, -hat(pc)], axis=-1)
@@ -88,10 +108,12 @@ def make_distributed_ba_step(mesh: Mesh, cam: CameraModel, n_total_cams: int,
     n_dev = mesh.devices.size
     c_local = n_total_cams // n_dev
 
-    def shard_step(poses, uv, pid, obs_ok, inv_s2, is_fixed, points):
+    def shard_step(poses, uv, pid, obs_ok, inv_s2, is_fixed, points, ur):
         # --- local assembly over this device's keyframe shard ---
         P_cap = points.shape[0]
-        r, J_cam, J_pt, behind = _residuals_mono(poses, points, uv, pid, cam)
+        r, J_cam, J_pt, behind = _residuals_mono(
+            poses, points, uv, pid, cam, ur=ur
+        )
         w = inv_s2 * obs_ok.astype(jnp.float32) * (~behind).astype(jnp.float32)
         J_cam = jnp.where(is_fixed[:, None, None, None], 0.0, J_cam)
 
@@ -165,7 +187,7 @@ def make_distributed_ba_step(mesh: Mesh, cam: CameraModel, n_total_cams: int,
             mesh=mesh,
             in_specs=(
                 P(MAP_AXIS), P(MAP_AXIS), P(MAP_AXIS), P(MAP_AXIS),
-                P(MAP_AXIS), P(MAP_AXIS), P(),
+                P(MAP_AXIS), P(MAP_AXIS), P(), P(MAP_AXIS),
             ),
             out_specs=(P(MAP_AXIS), P()),
             check_vma=False,  # points output IS replicated (derived from
@@ -174,9 +196,12 @@ def make_distributed_ba_step(mesh: Mesh, cam: CameraModel, n_total_cams: int,
     )
 
     def run(prob: ShardedBAProblem):
+        ur = prob.ur
+        if ur is None:
+            ur = jnp.full(prob.uv.shape[:2], -1.0, jnp.float32)
         return step(
             prob.poses, prob.uv, prob.pid, prob.obs_ok, prob.inv_s2,
-            prob.is_fixed, prob.points,
+            prob.is_fixed, prob.points, ur,
         )
 
     return run
@@ -272,7 +297,13 @@ def distributed_local_ba(
     kf_id = jnp.asarray(kf_id, jnp.int32)
     cam_ids, is_fixed, used = _gather_problem(m, kf_id, n_local, n_fixed)
     if Cp != Cw:
-        cam_ids = jnp.concatenate([cam_ids, jnp.zeros(Cp - Cw, jnp.int32)])
+        # Pad with an OUT-OF-RANGE slot id (kf_capacity): padding with 0
+        # would make the write-back scatter hit keyframe 0 twice — once
+        # with the pad slot's unchanged row and once with the BA result —
+        # and XLA picks a nondeterministic winner.  Out-of-range indices
+        # are dropped by the mode="drop" scatters below.
+        pad_id = jnp.full(Cp - Cw, m.kf_capacity, jnp.int32)
+        cam_ids = jnp.concatenate([cam_ids, pad_id])
         is_fixed = jnp.concatenate([is_fixed, jnp.ones(Cp - Cw, bool)])
         used = jnp.concatenate([used, jnp.zeros(Cp - Cw, bool)])
 
@@ -316,13 +347,15 @@ def distributed_local_ba(
         obs_ok_l & ~obs_mask, ms.NO_POINT, m.kf_point[cam_ids]
     )
     kf_point = m.kf_point.at[cam_ids].set(
-        jnp.where(used[:, None], new_rows, m.kf_point[cam_ids])
+        jnp.where(used[:, None], new_rows, m.kf_point[cam_ids]),
+        mode="drop",
     )
     kf_pose = m.kf_pose_cw.at[cam_ids].set(
         jnp.where(
             used[:, None, None], orthonormalize_se3(poses),
             m.kf_pose_cw[cam_ids],
-        )
+        ),
+        mode="drop",
     )
     upd = pt_in_l & sel_in
     pt_pos = m.pt_pos.at[sel].set(

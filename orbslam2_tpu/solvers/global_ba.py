@@ -145,6 +145,9 @@ def global_bundle_adjustment(
     poses = m.kf_pose_cw
     pts = m.pt_pos
     obs_mask = obs_ok
+    err_initial = jnp.sum(
+        jnp.where(obs_ok, jnp.minimum(chi2_all(poses, pts), chi2_th), 0.0)
+    )
     for k in range(rounds):
         # Huber IRLS weights on current residuals (robust first half).
         c = chi2_all(poses, pts)
@@ -174,8 +177,19 @@ def global_bundle_adjustment(
         # Persist the chi2 hygiene (see run_joint_global_ba): wrong
         # associations pruned during the plain half must not be re-admitted
         # by the next GBA segment or drag subsequent local BA windows.
+        # GATED ON PROGRESS: at an unconverged geometry (every round
+        # reverted — err did not drop) the chi2 classification is
+        # unreliable, and unbinding is irreversible; the reference's GBA
+        # never erases observations at all (only local BA does,
+        # Optimizer.cc:≈640), so only prune when this solve actually
+        # improved the map.
+        err_final = jnp.sum(
+            jnp.where(obs_mask, jnp.minimum(chi2_all(poses, pts), chi2_th),
+                      0.0)
+        )
+        improved = err_final < err_initial
         bad = obs_ok & ((chi2_all(poses, pts) > chi2_th) | ~obs_mask)
-        kf_point = jnp.where(bad, ms.NO_POINT, kf_point)
+        kf_point = jnp.where(bad & improved, ms.NO_POINT, kf_point)
     return m._replace(kf_pose_cw=poses, pt_pos=pts, kf_point=kf_point)
 
 

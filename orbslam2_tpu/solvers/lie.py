@@ -274,19 +274,26 @@ def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
-def orthonormalize_se3(T: jnp.ndarray) -> jnp.ndarray:
-    """Project the rotation block of (..., 4, 4) SE3 back onto SO(3) via
-    SVD (nearest rotation).  The tracking velocity model composes
-    T_t (T_{t-1})^-1 every frame, which amplifies any determinant error
-    geometrically — re-projection at the tracking boundary keeps the chain
-    on the manifold.
-    """
+def orthonormalize_se3(T: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
+    """Project the rotation block of (..., 4, 4) SE3 back onto SO(3).  The
+    tracking velocity model composes T_t (T_{t-1})^-1 every frame, which
+    amplifies any determinant error geometrically — re-projection at the
+    tracking boundary keeps the chain on the manifold.
+
+    Newton-Schulz polar iteration (X <- 0.5 X (3I - X^T X)) instead of the
+    SVD polar factor: inputs here are NEAR-rotations (drifted by float
+    accumulation, singular values ~1), where 3 iterations reach ~1e-7 of
+    the SVD answer, and batched small SVD lowers to an LU-class loop on
+    TPU while this is three batched 3x3 matmuls.  It preserves the
+    determinant sign, so near-SO(3) inputs stay proper rotations."""
     R = T[..., :3, :3]
-    U, _, Vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
-    D = jnp.concatenate(
-        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None],
-         det[..., None]], axis=-1
+    # Scale into the Newton-Schulz convergence region (||X||_2 <= sqrt(3)).
+    norm = jnp.sqrt(
+        jnp.sum(R * R, axis=(-2, -1), keepdims=True)
     )
-    R_clean = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt)
-    return rt_to_mat(R_clean, T[..., :3, 3])
+    X = R / jnp.maximum(norm / jnp.sqrt(3.0), 1.0)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), X.shape)
+    for _ in range(iters):
+        XtX = jnp.einsum("...ji,...jk->...ik", X, X)
+        X = 0.5 * jnp.einsum("...ij,...jk->...ik", X, 3.0 * eye - XtX)
+    return rt_to_mat(X, T[..., :3, 3])
