@@ -70,8 +70,8 @@ def main():
         orig_detect = lc.db.detect_loop_candidates
         orig_sim3 = lc._compute_sim3
 
-        def detect(m, kf_id, n_candidates=3, _o=orig_detect):
-            ids, scores, groups = _o(m, kf_id, n_candidates)
+        def detect(m, kf_id, n_candidates=3, _o=orig_detect, **kw):
+            ids, scores, groups = _o(m, kf_id, n_candidates, **kw)
             if len(ids):
                 print(f"  kf={kf_id} cands={list(zip(ids.tolist(), np.round(scores, 3).tolist()))} streak={lc.candidate_streak}")
             return ids, scores, groups
@@ -93,8 +93,9 @@ def main():
         loops = ([(a, b) for a, b, _ in sys_.loop_closer.loop_edges]
                  if sys_.loop_closer else [])
         n_kf = int(np.asarray(sys_.tracker.map.kf_valid).sum())
+        rej = {k: v for k, v in lc.metrics.items() if "sim3_reject" in k}
         print(f"lc={lc_on}: ATE(Sim3)={ate:.4f} lost={states.count(2)} "
-              f"loops={loops} kf={n_kf} ({time.time()-t0:.0f}s)")
+              f"loops={loops} kf={n_kf} rej={rej} ({time.time()-t0:.0f}s)")
 
 
 if __name__ == "__main__":

@@ -108,7 +108,9 @@ class AsyncMappingPipeline:
 
         def job():
             try:
-                mm = self.local_mapper.process_keyframe(snapshot, int(kf_id))
+                mm = self.local_mapper.process_keyframe(
+                    snapshot, int(kf_id), abort=self.abort_gba
+                )
                 if self.loop_closer is not None:
                     mm = self.loop_closer.process_keyframe(
                         mm, int(kf_id), abort=self.abort_gba
@@ -149,11 +151,21 @@ class AsyncMappingPipeline:
             return None
         return self._finish()
 
-    def wait(self) -> Optional[Tuple[ms.MapState, ms.MapState, int]]:
+    def wait(self, timeout: Optional[float] = None):
         """Block until the in-flight job (if any) finishes; return it.
         Signals the GBA abort flag first (InterruptBA: tracking needs the
-        map NOW, the background polish yields between LM segments)."""
+        map NOW, the background polish yields between LM segments).
+
+        With ``timeout`` (seconds) the wait is BOUNDED: if the job is
+        still running past it, returns None WITHOUT adopting — the
+        reference's tracking thread never blocks on LocalMapping either
+        (InterruptBA + SetAcceptKeyFrames only defer keyframes); a
+        pathologically slow job must not stall the frame cadence."""
         if self._thread is None:
             return None
         self.abort_gba.set()
+        if timeout is not None:
+            self._thread.join(timeout)
+            if self._thread.is_alive():
+                return None
         return self._finish()

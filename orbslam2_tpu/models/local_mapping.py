@@ -269,24 +269,18 @@ def cull_keyframes(
     return m._replace(kf_valid=kf_valid, kf_parent=parent)
 
 
-@jax.jit
-def fuse_with_neighbor(
+def _fuse_match(
     m: ms.MapState,
     kf_a: jnp.ndarray,
     kf_b: jnp.ndarray,
     cam: CameraModel,
     scale_factors: jnp.ndarray,
     inv_sigma2_lut: jnp.ndarray,
-) -> ms.MapState:
-    """One direction of SearchInNeighbors (LocalMapping.cc:≈370) with the
-    reference's FULL Fuse semantics (ORBmatcher::Fuse, src/ORBmatcher.cc:
-    ≈950): project kf_a's bound map points into kf_b; a match landing on an
-    unbound keypoint adds an observation; a match landing on a keypoint
-    bound to a DIFFERENT point triggers MapPoint::Replace, keeping the
-    point with MORE observations (MapPoint.cc:≈180).  Matches are gated by
-    a per-observation reprojection chi2 <= 5.991 at the matched keypoint's
-    octave — the windowed TH_LOW bind alone admits enough wrong cross-KF
-    observations on repetitive texture to drag BA."""
+):
+    """Match stage of one Fuse direction (ORBmatcher::Fuse projection +
+    windowed TH_LOW + chi2 gate): project kf_a's bound points into kf_b.
+    Returns (pid (N,), idx (N,), ok (N,)) — source point, matched kf_b
+    keypoint slot, validity.  vmapped over directions by the caller."""
     from ..ops.hamming import TH_LOW, match_descriptors
 
     pts_a = m.kf_point[kf_a]
@@ -330,26 +324,102 @@ def fuse_with_neighbor(
     err2 = jnp.sum((uv - m.kf_xy[kf_b][idx]) ** 2, axis=-1)
     lvl_b = jnp.clip(m.kf_level[kf_b][idx], 0, inv_sigma2_lut.shape[0] - 1)
     ok = mres.ok & (err2 * inv_sigma2_lut[lvl_b] <= 5.991)
+    return pid, mres.idx, ok
 
+
+def _fuse_apply(
+    m: ms.MapState,
+    kf_b: jnp.ndarray,
+    pid: jnp.ndarray,
+    idx: jnp.ndarray,
+    ok: jnp.ndarray,
+):
+    """Binding/Replace stage of one Fuse direction (MapPoint::Replace,
+    MapPoint.cc:≈180): a match on an unbound keypoint adds an observation;
+    a match on a keypoint bound to a DIFFERENT point replaces, keeping the
+    better-observed point.  Sequential across directions (Replace results
+    must be visible to the next direction's binding), while the expensive
+    match stage is batched by the caller.
+
+    Returns (m, repl): ``repl`` (P,) maps each point id to its survivor
+    (identity where untouched) so the caller can redirect later
+    directions' matches through this pass's merges — the sequential
+    reference loop sees those merges because it re-reads bindings."""
+    P = m.pt_capacity
+    ok = ok & m.pt_valid[jnp.clip(pid, 0, P - 1)]
     row = m.kf_point[kf_b]
-    tgt = jnp.where(ok, mres.idx, 0)
+    tgt = jnp.where(ok, idx, 0)
     incoming = jnp.full_like(row, NO_POINT).at[tgt].set(
         jnp.where(ok, pid, NO_POINT), mode="drop"
     )
-    # Duplicates: keep the better-observed point (MapPoint::Replace choice
-    # in ORBmatcher::Fuse).
     dup = (row >= 0) & (incoming >= 0) & (row != incoming)
     n_obs = ms.point_observation_counts(m)
-    a_survives = n_obs[jnp.clip(incoming, 0, m.pt_capacity - 1)] >= n_obs[
-        jnp.clip(row, 0, m.pt_capacity - 1)
+    a_survives = n_obs[jnp.clip(incoming, 0, P - 1)] >= n_obs[
+        jnp.clip(row, 0, P - 1)
     ]
     old = jnp.where(a_survives, row, incoming)
     new = jnp.where(a_survives, incoming, row)
-    m = ms.apply_point_replacements(m, jnp.where(dup, old, -1), new, dup)
+    old_do = jnp.where(dup, old, -1)
+    m = ms.apply_point_replacements(m, old_do, new, dup)
+    repl = (
+        jnp.arange(P, dtype=jnp.int32)
+        .at[jnp.where(dup, old_do, P)]
+        .set(jnp.where(dup, new, 0).astype(jnp.int32), mode="drop")
+    )
     # Bind still-unbound slots (new observations) after the rebind pass.
     row2 = m.kf_point[kf_b]
     row_new = jnp.where((row2 < 0) & (incoming >= 0), incoming, row2)
-    return m._replace(kf_point=m.kf_point.at[kf_b].set(row_new))
+    return m._replace(kf_point=m.kf_point.at[kf_b].set(row_new)), repl
+
+
+@jax.jit
+def fuse_with_neighbor(
+    m: ms.MapState,
+    kf_a: jnp.ndarray,
+    kf_b: jnp.ndarray,
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+    inv_sigma2_lut: jnp.ndarray,
+) -> ms.MapState:
+    """One direction of SearchInNeighbors (LocalMapping.cc:≈370) with the
+    reference's FULL Fuse semantics (ORBmatcher::Fuse, src/ORBmatcher.cc:
+    ≈950)."""
+    pid, idx, ok = _fuse_match(
+        m, kf_a, kf_b, cam, scale_factors, inv_sigma2_lut
+    )
+    m, _ = _fuse_apply(m, kf_b, pid, idx, ok)
+    return m
+
+
+@jax.jit
+def fuse_neighborhood(
+    m: ms.MapState,
+    pairs_a: jnp.ndarray,   # (D,) source keyframes
+    pairs_b: jnp.ndarray,   # (D,) target keyframes
+    cam: CameraModel,
+    scale_factors: jnp.ndarray,
+    inv_sigma2_lut: jnp.ndarray,
+) -> ms.MapState:
+    """SearchInNeighbors over the whole neighborhood in one program: the D
+    directional match stages (the (N, N) projection matchers — the
+    expensive part) run as ONE vmapped batch against the pre-fuse map,
+    then the binding/Replace passes apply sequentially in pair order.
+    Semantics vs the fully sequential reference loop: a later direction's
+    MATCHES come from the pre-fuse map, but its source point ids are
+    redirected through the accumulated Replace maps of the earlier
+    directions (``repl`` composition), so merges propagate exactly as in
+    the sequential loop; the only residual difference is descriptor/
+    position drift of merged points between match and apply — noise-level
+    (the descriptors are near-duplicates by construction of Fuse)."""
+    pid_all, idx_all, ok_all = jax.vmap(
+        lambda a, b: _fuse_match(m, a, b, cam, scale_factors, inv_sigma2_lut)
+    )(pairs_a, pairs_b)
+    cur = jnp.arange(m.pt_capacity, dtype=jnp.int32)
+    for d in range(pairs_a.shape[0]):
+        pid_d = cur[jnp.clip(pid_all[d], 0, m.pt_capacity - 1)]
+        m, repl = _fuse_apply(m, pairs_b[d], pid_d, idx_all[d], ok_all[d])
+        cur = repl[cur]
+    return m
 
 
 class LocalMapper:
@@ -417,7 +487,20 @@ class LocalMapper:
             m = ms.update_point_stats(m, self.scale_factors)
         return m
 
-    def process_keyframe(self, m: ms.MapState, kf_id: int) -> ms.MapState:
+    def process_keyframe(self, m: ms.MapState, kf_id: int,
+                         abort=None) -> ms.MapState:
+        """Per-keyframe mapping sequence.  ``abort``: optional
+        threading.Event — the InterruptBA analog (src/LocalMapping.cc
+        mbAbortBA): when set mid-job, the remaining OPTIONAL stages (local
+        BA, distinctive descriptors, keyframe culling) are skipped so the
+        job finishes within one stage's latency; the structural stages
+        (culling, triangulation, fuse, stats) always complete — the
+        reference likewise always finishes ProcessNewKeyFrame/
+        CreateNewMapPoints and only aborts the BA."""
+
+        def aborted():
+            return abort is not None and abort.is_set()
+
         kf = jnp.int32(kf_id)
         m = cull_map_points(m)
         tri_ids, _ = ms.best_covisible(m, kf, self.n_tri_neighbors)
@@ -428,25 +511,32 @@ class LocalMapper:
         fuse_ids = None
         if self.enable_fuse:
             # SearchInNeighbors: fuse duplicates with the best covisible
-            # neighbors, both directions (LocalMapping.cc:≈370).
+            # neighbors, both directions (LocalMapping.cc:≈370), matched as
+            # one batched program.
             nn = self.n_fuse_neighbors
             neighbor_ids, weights = ms.best_covisible(m, kf, nn)
             fuse_ids = neighbor_ids[:nn]
-            for i in range(nn):
-                nb = neighbor_ids[i]
-                m = fuse_with_neighbor(
-                    m, kf, nb, self.cam, self.scale_factors, self.inv_sigma2
-                )
-                m = fuse_with_neighbor(
-                    m, nb, kf, self.cam, self.scale_factors, self.inv_sigma2
-                )
+            pairs_a = jnp.concatenate(
+                [jnp.stack([kf, nb]) for nb in
+                 [neighbor_ids[i] for i in range(nn)]]
+            )
+            pairs_b = jnp.concatenate(
+                [jnp.stack([nb, kf]) for nb in
+                 [neighbor_ids[i] for i in range(nn)]]
+            )
+            m = fuse_neighborhood(
+                m, pairs_a, pairs_b, self.cam, self.scale_factors,
+                self.inv_sigma2,
+            )
         m = ms.update_point_stats(m, self.scale_factors)
-        if self.enable_ba:
+        if self.enable_ba and not aborted():
             m = self._local_ba(m, kf)
             # NOTE: no stats refresh after BA — the reference recomputes
             # UpdateNormalAndDepth on creation/fuse/Replace, never after
             # LocalBundleAdjustment (src/LocalMapping.cc:≈190-500); the
             # slight post-BA staleness of the scale bands matches it.
+        if aborted():
+            return m
         # Exact min-median-Hamming distinctive descriptors for the points
         # this pass touched: those observed by the new keyframe, its
         # triangulation partners and its fuse partners (the reference

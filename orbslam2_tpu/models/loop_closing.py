@@ -335,12 +335,20 @@ class LoopCloser:
                 S_ref, m.kf_pose_cw, m.kf_valid,
             ))
         )
-        if int(n_matches) < 20 or not bool(ransac_ok):
+        def reject(stage):
+            self.metrics[f"sim3_reject_{stage}"] = (
+                self.metrics.get(f"sim3_reject_{stage}", 0) + 1
+            )
             return None
+
+        if int(n_matches) < 20:
+            return reject("bow")
+        if not bool(ransac_ok):
+            return reject("ransac")
         if int(n_inliers) < 20:
-            return None
+            return reject("opt")
         if int(n_proj) < 40:
-            return None
+            return reject("proj")
         ores = ores._replace(S12=S_ref)
 
         # Odometry-consistency gate (robustification beyond the reference,
@@ -370,7 +378,7 @@ class LoopCloser:
         max_ang = max(20.0, 0.5 * len(ids))
         max_ds = 1.0 + self.max_drift_frac
         if dt > max_dt or ang > max_ang or not (1 / max_ds <= s_est <= max_ds):
-            return None
+            return reject("odom")
         return ores.S12
 
     # ------------------------------------------------------------------

@@ -521,6 +521,10 @@ class Tracker:
         # since the last keyframe reaches this many frames, in which case
         # the tracker block-adopts (InterruptBA) and inserts anyway.
         self.kf_urgent_gap = 10
+        # Grace period for the urgent adopt: covers a normally-finishing
+        # mapping job's tail (~0.2 s of device work on TPU) while bounding
+        # the worst-case tracking stall.
+        self.kf_urgent_wait_s = 0.5
         # Chunked driver mode: C frames per dispatch via lax.scan with
         # ON-DEVICE keyframe decision + insertion (track_fused.py's
         # make_fused_chunk_tracker).  Mapping/loop-closing resolve after
@@ -846,15 +850,17 @@ class Tracker:
                     self.metrics["relocalizations"] += 1
                     self.metrics["track_path"] = "reloc"
                     if self._next_ctx is not None:
-                        # has_velocity=True with identity velocity: the
-                        # reloc bindings + pose make windowed motion-model
-                        # matching (with its 2x-radius retry) the robust
-                        # continuation; descriptor-global ref-KF matching
-                        # is the weaker fallback after a reloc.
+                        # Re-anchor at the reloc pose but KEEP the measured
+                        # VO velocity: the camera is still moving, and an
+                        # identity-velocity prediction puts the next
+                        # frame's temp-point projections outside the match
+                        # window — one stale prediction and the VO
+                        # dead-reckoning chain (the whole point of mbVO
+                        # mode) dies right after a successful re-anchor.
                         self._next_ctx = self._next_ctx._replace(
                             T_last=jnp.asarray(T, jnp.float32),
                             has_velocity=jnp.asarray(True),
-                            velocity=jnp.eye(4, dtype=jnp.float32),
+                            velocity=out.velocity,
                             last_bindings=jnp.where(
                                 self.last_bindings >= 0, self.last_bindings,
                                 jnp.full_like(self.last_bindings, NO_POINT),
@@ -975,7 +981,16 @@ class Tracker:
         allow_kf = not self.localization_only
         if mp is not None and not mp.accept_keyframes():
             if fid0 - self.last_kf_frame_id >= self.kf_urgent_gap:
-                self._adopt(mp.wait())
+                # BOUNDED urgent adopt (InterruptBA class): the abort flag
+                # is raised and the job given a short grace; a job that
+                # still doesn't finish only defers keyframes further — it
+                # never stalls the frame cadence (the reference's tracking
+                # thread never blocks on LocalMapping).
+                res = mp.wait(timeout=self.kf_urgent_wait_s)
+                if res is not None:
+                    self._adopt(res)
+                else:
+                    allow_kf = False
             else:
                 allow_kf = False
         ctx = self._next_ctx if self._next_ctx is not None else self._make_ctx()
@@ -1608,14 +1623,17 @@ class Tracker:
 
     def _kf_gate(self) -> bool:
         """May a keyframe be created right now?  True when no async job is
-        in flight; on an urgent gap, block-adopt the in-flight job first
-        (InterruptBA) and return True."""
+        in flight; on an urgent gap, adopt the in-flight job with a BOUNDED
+        wait (InterruptBA) and return True — a job that overruns the grace
+        period only defers the keyframe, never stalls tracking."""
         mp = self.mapping_pipeline
         if mp is None or mp.accept_keyframes():
             return True
         if self.frame_id - self.last_kf_frame_id >= self.kf_urgent_gap:
-            self._adopt(mp.wait())
-            return True
+            res = mp.wait(timeout=self.kf_urgent_wait_s)
+            if res is not None:
+                self._adopt(res)
+                return True
         return False  # deferred: SetAcceptKeyFrames(false)
 
     def _poll_adopt(self):

@@ -471,11 +471,19 @@ def make_loop_sequence(
     with_depth: bool = False,
     seed: int = 0,
     extra_turns: float = 1.25,
+    stereo_baseline: float = 0.0,
+    room_half: float = None,
 ) -> SyntheticSequence:
     """Circular trajectory inside the room: heading tangent to the circle,
     closing a full loop (slightly more than 360 deg so the start viewpoint
-    is revisited) — the loop-closure fixture."""
-    world = make_room_world(n_points=n_points, seed=seed)
+    is revisited) — the loop-closure fixture.  ``stereo_baseline`` > 0
+    renders (F, 2, H, W) stereo pairs (the KITTI-class fixture);
+    ``room_half`` scales the room for large circles."""
+    kwargs = {}
+    if room_half is not None:
+        kwargs["half_x"] = room_half
+        kwargs["half_z"] = room_half
+    world = make_room_world(n_points=n_points, seed=seed, **kwargs)
     poses = np.zeros((n_frames, 4, 4), np.float64)
     for i in range(n_frames):
         a = 2 * np.pi * extra_turns * i / n_frames
@@ -492,6 +500,15 @@ def make_loop_sequence(
     poses = poses.astype(np.float32)
     frames, depths = [], ([] if with_depth else None)
     for f in range(n_frames):
+        if stereo_baseline > 0.0:
+            right = poses[f].copy()
+            right[:3, 3] = right[:3, 3] + right[:3, :3] @ np.array(
+                [stereo_baseline, 0, 0], np.float32
+            )
+            im_l = render_room_frame(world, poses[f], cam, seed=seed + 300 + f)
+            im_r = render_room_frame(world, right, cam, seed=seed + 7000 + f)
+            frames.append(np.stack([im_l, im_r]))
+            continue
         out = render_room_frame(
             world, poses[f], cam, seed=seed + 300 + f, with_depth=with_depth
         )

@@ -6,6 +6,7 @@ import time
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_slam_e2e import small_settings
 
@@ -24,6 +25,7 @@ def _run(sys, seq, n):
 
 
 class TestAsyncPipeline:
+    @pytest.mark.slow
     def test_async_slam_quality(self):
         """Async mapping must produce a working map: tracking stays OK,
         keyframes + mapping jobs actually run, ATE stays in the synchronous
@@ -45,14 +47,16 @@ class TestAsyncPipeline:
         ate = synthetic.ate_rmse(sys.poses_wc(), seq.poses_wc, with_scale=False)
         assert ate < 0.12, f"async ATE {ate:.4f}"
 
+    @pytest.mark.slow
     def test_tracking_cadence_unaffected_by_mapping_latency(self):
         """Inject an artificial 0.5 s mapping delay: with the async
         pipeline, per-frame tracking latency must stay far below it (the
         reference's guarantee: Tracking never waits on LocalMapping)."""
         s = small_settings(bf=32.0)
         cam = s.camera_model()
+        n_frames = 24
         seq = synthetic.make_sequence(
-            cam, n_frames=16, n_points=400, with_depth=True, seed=11,
+            cam, n_frames=n_frames, n_points=400, with_depth=True, seed=11,
             radius=0.5, forward=1.5,
         )
         # Far above this CPU's per-frame tracking compute (~0.5 s), so a
@@ -66,9 +70,17 @@ class TestAsyncPipeline:
             )
             orig = sys.local_mapper.process_keyframe
 
-            def slow(m, kf_id, _orig=orig):
-                time.sleep(delay)
-                return _orig(m, kf_id)
+            def slow(m, kf_id, abort=None, _orig=orig):
+                # Abortable artificial latency: the InterruptBA analog —
+                # the urgent-gap adopt raises `abort` and the job must
+                # respond within one stage, like the reference's BA
+                # honoring mbAbortBA between iterations.
+                t_end = time.perf_counter() + delay
+                while time.perf_counter() < t_end:
+                    if abort is not None and abort.is_set():
+                        break
+                    time.sleep(0.05)
+                return _orig(m, kf_id, abort=abort)
 
             sys.local_mapper.process_keyframe = slow
             return sys
@@ -78,15 +90,20 @@ class TestAsyncPipeline:
         sys.track_rgbd(seq.images[0], seq.depths[0], seq.timestamps[0])
         sys.track_rgbd(seq.images[1], seq.depths[1], seq.timestamps[1])
         times = []
-        for i in range(2, 16):
+        for i in range(2, n_frames):
             t0 = time.perf_counter()
             sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
             times.append(time.perf_counter() - t0)
         sys.shutdown()
+        # Keyframes still happen — DEFERRED while the slow job runs
+        # (SetAcceptKeyFrames), resumed once the urgent-gap abort
+        # (InterruptBA) cuts the job short.
         assert sys.tracker.metrics["keyframes_created"] >= 2
-        # A synchronous keyframe would cost >= delay; async frames must not.
-        # (First-compile frames are excluded by the warmup; the median and
-        # even the slowest steady frame stay well under the mapping delay.)
+        # A synchronous keyframe would cost >= delay; async frames must
+        # not.  The urgent-gap adopt is BOUNDED (kf_urgent_wait_s) and
+        # raises the abort the job honors, so no frame may stall anywhere
+        # near the mapping delay (round-2 verdict ask #2: bounded
+        # keyframe-insertion latency).
         assert float(np.median(times)) < delay / 2, times
         n_stalled = sum(1 for t in times if t > delay)
         assert n_stalled == 0, f"{n_stalled} frames stalled on mapping: {times}"

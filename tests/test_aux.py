@@ -142,6 +142,7 @@ class TestVocabIO:
 
 
 class TestRelocalization:
+    @pytest.mark.slow
     def test_recovers_after_kidnap(self):
         """Track a sequence, kidnap the camera (skip frames), verify
         relocalization re-acquires the pose — Tracking::Relocalization's
@@ -176,6 +177,7 @@ class TestRelocalization:
 
 
 class TestLocalizationMode:
+    @pytest.mark.slow
     def test_localization_only_tracks_without_map_growth(self):
         """System::ActivateLocalizationMode: tracking continues against the
         frozen map; no new keyframes or points are created."""
@@ -211,6 +213,7 @@ class TestLocalizationMode:
 
 
 class TestLocalizationVO:
+    @pytest.mark.slow
     def test_vo_mode_survives_unmapped_region(self):
         """Temp VO points (Tracking::UpdateLastFrame, Tracking.cc:≈810) +
         VO mode (mbVO): in localization-only mode the camera drives far
@@ -253,6 +256,7 @@ class TestLocalizationVO:
 
 
 class TestDeterminism:
+    @pytest.mark.slow
     def test_repeated_runs_identical(self):
         """SURVEY.md §7: the reference is nondeterministic (thread timing +
         DUtils::Random); we guarantee bitwise-identical trajectories for

@@ -134,6 +134,7 @@ class TestCompactMap:
 
 
 class TestForcedCompaction:
+    @pytest.mark.slow
     def test_cull_compact_then_keep_tracking(self):
         """Mid-run: cull a batch of interior keyframes (as KeyFrameCulling
         would on a redundant stretch), compact through the tracker's public

@@ -59,6 +59,7 @@ def tum_dir(tmp_path_factory):
 
 
 class TestDatasetDriver:
+    @pytest.mark.slow
     def test_rgbd_tum_driver_end_to_end(self, tum_dir, tmp_path):
         root, seq = tum_dir
         out = tmp_path / "out"

@@ -76,6 +76,7 @@ class TestLiveDriver:
         ate = synthetic.ate_rmse(est, seq.poses_wc, with_scale=False)
         assert ate < 0.05, f"live rgbd ATE {ate}"
 
+    @pytest.mark.slow
     def test_stereo_stream_with_rectify_hook(self):
         """Stereo topics arriving out of order, through a rectification
         hook (ros_stereo.cc's do_rectify path)."""

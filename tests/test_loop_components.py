@@ -173,6 +173,7 @@ class TestSim3:
 
 
 class TestPoseGraph:
+    @pytest.mark.slow
     def test_loop_correction_spreads_drift(self, rng):
         """Chain of K keyframes with accumulated drift; a loop edge between
         first and last pulls the chain back; the graph distributes it."""
@@ -314,6 +315,7 @@ class TestGlobalBA:
         )
         return m, np.stack(poses), X
 
+    @pytest.mark.slow
     def test_joint_gba_unbinds_wrong_associations(self, rng):
         """The persistent chi2 hygiene: observations bound to the WRONG
         map point (never cleaned because local BA didn't run) must be

@@ -36,6 +36,7 @@ def make_voc_text(tmp_path, n_nodes=500, k=5, seed=0):
 
 
 class TestOrbvocScale:
+    @pytest.mark.slow
     def test_orbvoc_scale_parse_and_sparse_db(self, tmp_path):
         """ORBvoc-class vocabulary end-to-end (VERDICT.md #8): generate a
         complete k=8/L=6 tree (262144 words — past the dense-database

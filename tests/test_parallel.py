@@ -238,6 +238,7 @@ class TestDistributedLocalBA:
     mesh=...) must match their single-device twins — same schur_ba_core,
     collectives identity vs psum/all_gather."""
 
+    @pytest.mark.slow
     def test_distributed_local_ba_matches_single_device(self, rng):
         from orbslam2_tpu.solvers.local_ba import local_bundle_adjustment
 
@@ -261,6 +262,7 @@ class TestDistributedLocalBA:
             np.asarray(m8.kf_pose_cw), np.asarray(m.kf_pose_cw)
         )
 
+    @pytest.mark.slow
     def test_distributed_joint_gba_matches_single_device(self, rng):
         from orbslam2_tpu.solvers.global_ba import run_joint_global_ba
 
@@ -285,6 +287,7 @@ class TestDistributedLocalBA:
         )
         assert float(terr.max()) < 0.05, terr
 
+    @pytest.mark.slow
     def test_mapper_mesh_dispatch(self, rng):
         """LocalMapper(mesh=...) routes BA to the distributed solver and
         produces the same map as the single-device mapper."""
@@ -311,3 +314,63 @@ class TestDistributedLocalBA:
             np.asarray(out8.kf_pose_cw), np.asarray(out1.kf_pose_cw),
             atol=2e-4,
         )
+
+
+class TestShardedLiveMap:
+    """Round-2 verdict #6: shard the LIVE MapState (keyframe blocks), not
+    only the solvers' internals — mapping programs must produce the same
+    map when their inputs are placed on an 8-device mesh under GSPMD."""
+
+    def test_shard_map_state_placement(self, rng):
+        from orbslam2_tpu.parallel.distributed import (
+            map_state_shardings, shard_map_state,
+        )
+
+        m, *_ = make_slam_map(rng, K=16)
+        mesh = mesh_mod.make_mesh(8)
+        m_sh = shard_map_state(m, mesh)
+        # Keyframe pools sharded over the map axis, points replicated.
+        assert not m_sh.kf_pose_cw.sharding.is_fully_replicated
+        assert m_sh.pt_pos.sharding.is_fully_replicated
+        np.testing.assert_array_equal(
+            np.asarray(m_sh.kf_point), np.asarray(m.kf_point)
+        )
+
+    def test_process_keyframe_on_sharded_map_matches(self, rng):
+        from orbslam2_tpu.config import (
+            CameraSettings, OrbSettings, Settings, TpuSettings,
+        )
+        from orbslam2_tpu.models.local_mapping import LocalMapper
+        from orbslam2_tpu.parallel.distributed import shard_map_state
+
+        s = Settings(
+            camera=CameraSettings(fx=300.0, fy=300.0, cx=128.0, cy=96.0,
+                                  width=256, height=192),
+            orb=OrbSettings(n_features=96, n_levels=4),
+            tpu=TpuSettings(max_keypoints=96, max_keyframes=16,
+                            max_points=512),
+        )
+        m, *_ = make_slam_map(rng, K=16)
+        lm = LocalMapper(s, sensor="mono")
+        out1 = lm.process_keyframe(m, 3)
+
+        mesh = mesh_mod.make_mesh(8)
+        m_sh = shard_map_state(m, mesh)
+        out8 = lm.process_keyframe(m_sh, 3)
+        # GSPMD partitioning of the same programs: same map, to f32
+        # reduction-order noise.
+        np.testing.assert_allclose(
+            np.asarray(out8.kf_pose_cw), np.asarray(out1.kf_pose_cw),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out8.pt_pos), np.asarray(out1.pt_pos), atol=2e-3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out8.kf_valid), np.asarray(out1.kf_valid)
+        )
+
+    def test_initialize_distributed_single_process_noop(self):
+        from orbslam2_tpu.parallel.distributed import initialize_distributed
+
+        assert initialize_distributed(num_processes=1) is False

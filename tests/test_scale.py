@@ -123,6 +123,7 @@ class TestCapacityOps:
 
 
 class TestLargeKPoseGraph:
+    @pytest.mark.slow
     def test_cg_essential_graph_runs_at_2048(self):
         """K=2048 pose graph (CG path, no dense (7K)^2): a noisy circle
         with one loop edge must contract toward consistency."""

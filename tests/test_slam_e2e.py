@@ -47,6 +47,7 @@ def rgbd_seq():
 
 
 class TestMonoSlam:
+    @pytest.mark.slow
     def test_tracks_sequence(self, mono_seq):
         sys = SlamSystem(small_settings(), Sensor.MONOCULAR)
         states = []
@@ -136,6 +137,7 @@ class TestStereoSlam:
 
 
 class TestLoopClosing:
+    @pytest.mark.slow
     def test_loop_detected_and_corrected(self):
         """Circular RGB-D trajectory revisiting its start: a loop edge must
         fire between an early and a late keyframe, and the loop-closed
@@ -187,3 +189,53 @@ class TestLoopClosing:
         assert b - a > 30, f"loop edge {loops[0]} does not span the circle"
         assert ate_lc < ate_no, (ate_lc, ate_no)
         assert ate_lc < 0.5, f"loop-closed ATE {ate_lc}"
+
+    @pytest.mark.slow
+    def test_mono_loop_closure_production_config(self):
+        """Monocular free-scale loop closure at PRODUCTION defaults (local
+        BA on, fuse on, GBA on): around a 2.5 m circle, mono scale drift
+        accumulates enough that the revisit cannot seamlessly reconnect
+        through covisibility, the BoW candidates fire, and the
+        mbFixScale=false Sim3 path (src/LoopClosing.cc:≈160) must verify a
+        loop edge spanning the circle.  Round-2 verdict ask #4: the only
+        loop e2e before this was RGB-D with BA disabled."""
+        import numpy as np
+
+        from orbslam2_tpu.ops.bow import train_vocabulary
+        from orbslam2_tpu.ops.extractor import OrbExtractor
+
+        s = small_settings(bf=0.0)
+        cam = s.camera_model()
+        n_frames = 140
+        seq = synthetic.make_loop_sequence(
+            cam, n_frames=n_frames, circle_radius=2.5, with_depth=False,
+            seed=5, n_points=2500,
+        )
+        ex = OrbExtractor(s.orb, s.tpu)
+        descs = np.concatenate([
+            (lambda f: np.asarray(f.desc)[np.asarray(f.valid)])(
+                ex(seq.images[i])
+            )
+            for i in range(0, n_frames, 6)
+        ])
+        vocab = train_vocabulary(descs, k=10, levels=4, seed=0)
+
+        sys = SlamSystem(s, Sensor.MONOCULAR, vocabulary=vocab,
+                         enable_loop_closing=True)
+        assert sys.loop_closer.fix_scale is False  # free-scale Sim3 (mono)
+        lost = 0
+        for i in range(n_frames):
+            sys.track_monocular(seq.images[i], seq.timestamps[i])
+            lost += int(sys.tracking_state() == TrackState.LOST)
+        sys.shutdown()
+        loops = [(a, b) for a, b, _ in sys.loop_closer.loop_edges]
+        ate = synthetic.ate_rmse(sys.poses_wc(), seq.poses_wc,
+                                 with_scale=True)
+        assert lost <= 0.05 * n_frames, f"{lost} frames lost"
+        assert loops, "no mono loop edge fired"
+        a, b = loops[0]
+        assert b - a > 50, f"loop edge {loops[0]} does not span the circle"
+        # Sim3-aligned ATE bound: mono scale drift on 1.25 turns of a
+        # 2.5 m circle runs ~0.7 without the loop; the corrected run must
+        # stay clearly below that class.
+        assert ate < 0.7, f"mono loop-closed ATE {ate:.3f}"

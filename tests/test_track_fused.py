@@ -37,6 +37,7 @@ def _run(sensor, use_fused, n_frames=24, pipeline=False, chunk=0):
 
 
 class TestFusedEquivalence:
+    @pytest.mark.slow
     def test_rgbd_fused_matches_unfused(self):
         sys_f, seq = _run(Sensor.RGBD, True)
         sys_u, _ = _run(Sensor.RGBD, False)
@@ -87,6 +88,7 @@ class TestPipelinedMode:
 
 
 class TestChunkedMode:
+    @pytest.mark.slow
     def test_rgbd_chunked(self):
         """C frames per dispatch (lax.scan) with ON-DEVICE keyframe
         decision + insertion; mapping resolves after each chunk — the
@@ -100,6 +102,7 @@ class TestChunkedMode:
         assert sys_c.tracker.metrics["frames"] == seq.images.shape[0] - 1
         assert not sys_c.tracker._chunk_buf  # tail flushed at shutdown
 
+    @pytest.mark.slow
     def test_rgbd_chunk_tail_flush(self):
         """A sequence length that is NOT a chunk multiple: the tail runs
         through the single-frame path on the same device-chained ctx."""
@@ -108,6 +111,7 @@ class TestChunkedMode:
         assert ate < 0.10, ate
         assert len(sys_c.tracker.trajectory) == 23
 
+    @pytest.mark.slow
     def test_mid_chunk_blackout_recovers(self):
         """A featureless blackout frame mid-chunk must not wreck the rest
         of the chunk: the next real frame re-acquires — by the in-scan
@@ -152,6 +156,7 @@ class TestChunkedMode:
         bad_tail = [t[0] for t in tr.trajectory if t[3] and t[0] >= 12]
         assert bad_tail in ([], [13]), bad_tail
 
+    @pytest.mark.slow
     def test_mid_chunk_kidnap_relocalizes_and_requeues(self):
         """True kidnap mid-stream: the camera teleports back to an
         early-mapped region while the reference keyframe is on the other

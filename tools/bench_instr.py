@@ -30,9 +30,9 @@ mp.submit, mp.wait = submit, wait
 # wrap worker job to time it
 orig_lm = mp.local_mapper.process_keyframe
 lm_times = []
-def lm_pk(m, kf):
+def lm_pk(m, kf, **kw):
     t0 = time.perf_counter()
-    r = orig_lm(m, kf)
+    r = orig_lm(m, kf, **kw)
     lm_times.append(time.perf_counter() - t0)  # enqueue-only time
     return r
 mp.local_mapper.process_keyframe = lm_pk
