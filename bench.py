@@ -91,18 +91,23 @@ def main():
     run(sys, imgs, deps)
     kf_warm = sys.tracker.metrics["keyframes_created"]
 
-    sys = make_system()
-    t0 = time.perf_counter()
-    run(sys, imgs, deps)
-    dt = time.perf_counter() - t0
+    # Median of 3 timed passes: one bad pass (tunnel sync hiccup, stray
+    # host load) must not halve the official number (round-3 verdict #1).
+    fps_runs = []
+    for _ in range(3):
+        sys = make_system()
+        t0 = time.perf_counter()
+        run(sys, imgs, deps)
+        dt = time.perf_counter() - t0
 
-    n_kf = sys.tracker.metrics["keyframes_created"]
-    jobs = sys.mapping_pipeline.jobs_run if sys.mapping_pipeline else 0
-    assert n_kf >= 3 and jobs >= 3, (
-        f"bench must exercise keyframes+mapping (kf={n_kf}, jobs={jobs}, "
-        f"warm kf={kf_warm})"
-    )
-    fps = len(imgs) / dt
+        n_kf = sys.tracker.metrics["keyframes_created"]
+        jobs = sys.mapping_pipeline.jobs_run if sys.mapping_pipeline else 0
+        assert n_kf >= 3 and jobs >= 3, (
+            f"bench must exercise keyframes+mapping (kf={n_kf}, "
+            f"jobs={jobs}, warm kf={kf_warm})"
+        )
+        fps_runs.append(len(imgs) / dt)
+    fps = float(np.median(fps_runs))
 
     print(
         json.dumps(

@@ -138,6 +138,16 @@ class TpuSettings:
     max_points: int = 32768            # map landmark pool
     max_obs_per_point: int = 16        # padded observation slots per landmark
     local_window: int = 80             # TrackLocalMap KF cap (Tracking.cc:≈1190)
+    # Back-end association windows (reference scale by default; each is an
+    # UPPER CAP — the compiled window is bucketed to the map's current size
+    # so small maps never pay the padded worst case):
+    ba_local_window: int = 32          # local BA free cams (Optimizer.cc:≈460
+                                       # frees ALL covisibles; capped here)
+    ba_fixed_window: int = 16          # local BA fixed observer ring
+    tri_neighbors_mono: int = 20       # triangulation neighbors, mono
+    tri_neighbors_stereo: int = 10     # (LocalMapping.cc:≈190: 20 / 10)
+    fuse_first_neighbors: int = 10     # SearchInNeighbors 1st-order KFs
+    fuse_second_neighbors: int = 5     # + 2nd-order (LocalMapping.cc:≈370)
     ransac_iters: int = 256            # batched hypothesis count
     min_init_matches: int = 100        # mono-init match gate (Tracking.cc:≈600)
     mesh_shape: tuple = (1,)           # device mesh ("map" axis)

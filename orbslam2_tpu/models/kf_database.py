@@ -93,7 +93,6 @@ class KeyframeDatabase:
             self.bow = jnp.zeros((kf_capacity, vocab.n_words), jnp.float32)
         self.has_entry = jnp.zeros((kf_capacity,), bool)
         self._feat_capacity = feat_capacity
-        self.last_extras = None  # host copies from the last batched query
         # Per-keyframe feature node ids (DBoW2 FeatureVector) for node-
         # gated SearchByBoW; allocated on first add (per-slot feature dim).
         self.db_nodes: Optional[jnp.ndarray] = None
@@ -183,7 +182,7 @@ class KeyframeDatabase:
         eligible: jnp.ndarray,
         n_candidates: int,
         extras=None,
-    ) -> Tuple[np.ndarray, np.ndarray, dict]:
+    ) -> Tuple[np.ndarray, np.ndarray, dict, object]:
         """Steps 1+3+4 of the reference logic, shared by loop + reloc.
 
         Returns (ids, acc_scores, covis_groups) where covis_groups maps a
@@ -206,11 +205,11 @@ class KeyframeDatabase:
             m, short_ids.astype(jnp.int32), short_ok, sl_scores, shortlist
         )
         # ONE host sync for the whole candidate decision.
-        acc, best_kf, rows, sl, self.last_extras = jax.device_get(
+        acc, best_kf, rows, sl, extras_host = jax.device_get(
             (acc_d, best_kf_d, rows_d, short_ids, extras)
         )
         if not (acc > 0).any():
-            return np.zeros(0, np.int64), np.zeros(0), {}
+            return np.zeros(0, np.int64), np.zeros(0), {}, extras_host
         cut = 0.75 * acc.max()
         keep = acc >= cut
         groups = {
@@ -257,7 +256,8 @@ class KeyframeDatabase:
             k = int(best_kf[i])
             if k in seen and k not in groups:
                 groups[k] = groups.get(int(sl[i]), set())
-        return np.asarray(out_ids, np.int64), np.asarray(out_acc), groups
+        return (np.asarray(out_ids, np.int64), np.asarray(out_acc), groups,
+                extras_host)
 
     def detect_loop_candidates(
         self,
@@ -265,12 +265,13 @@ class KeyframeDatabase:
         kf_id: int,
         n_candidates: int = 3,
         extras=None,
-    ) -> Tuple[np.ndarray, np.ndarray, dict]:
+    ) -> Tuple[np.ndarray, np.ndarray, dict, object]:
         """KeyFrameDatabase::DetectLoopCandidates (≈90): common-word
         prefilter, covisible exclusion, min-score gate, covisibility-group
         accumulated scoring with the 0.75 cut.
 
-        Returns (ids, acc_scores, covis_groups) — one host sync total."""
+        Returns (ids, acc_scores, covis_groups, extras_host) — one host
+        sync total."""
         scores, common = self._scores_for_kf(m, kf_id)
         covis_row = ms.covisible_row(m, jnp.int32(kf_id)) > 0
         covis_scores = jnp.where(covis_row & self.has_entry, scores, jnp.inf)
@@ -307,7 +308,7 @@ class KeyframeDatabase:
         row, words = self._query_row(frame_desc, frame_valid)
         scores, common = self._scores_and_common(row, words)
         eligible = self.has_entry & m.kf_valid & (scores > 0)
-        ids, _, _ = self._grouped_candidates(
+        ids, _, _, _ = self._grouped_candidates(
             m, scores, common, eligible, n_candidates
         )
         return ids

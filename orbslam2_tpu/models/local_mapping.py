@@ -37,6 +37,20 @@ from . import map_state as ms
 NO_POINT = ms.NO_POINT
 
 
+def _bucket(cap: int, n: int, lo: int = 4) -> int:
+    """Smallest power-of-two-ish window >= min(cap, n), clamped to cap.
+
+    The reference's association windows are bounded by the number of
+    covisible keyframes that EXIST; with fixed compiled shapes we bucket
+    the window to the map's current size so a young map compiles small,
+    fast problems and a mature map reaches the full reference-scale cap
+    (each bucket compiles once; log2(cap) variants total)."""
+    v = lo
+    while v < min(cap, n):
+        v *= 2
+    return min(v, cap)
+
+
 @jax.jit
 def cull_map_points(m: ms.MapState) -> ms.MapState:
     """MapPointCulling: drop points with found/visible < 0.25, or points
@@ -427,7 +441,7 @@ class LocalMapper:
 
     def __init__(self, settings: Settings, enable_ba: bool = True,
                  enable_kf_culling: bool = True, enable_fuse: bool = True,
-                 sensor: str = "mono", n_fuse_neighbors: int = 2,
+                 sensor: str = "mono", n_fuse_neighbors: int = None,
                  mesh=None):
         # enable_fuse: SearchInNeighbors duplicate fusion (LocalMapping.cc:
         # ≈370), ON by default with the reference's full Fuse semantics:
@@ -435,7 +449,19 @@ class LocalMapper:
         # (round 1's bind-only fuse was off by default because the plain
         # windowed TH_LOW bind poisoned BA on repetitive texture).
         self.settings = settings
-        self.n_fuse_neighbors = n_fuse_neighbors
+        tpu = settings.tpu
+        # Association-window CAPS (reference scale, config-driven; round-3
+        # verdict #3).  The per-keyframe window actually compiled is
+        # bucketed to the map's current size (_bucket) so a small map never
+        # pays the padded worst case, while large maps reach the
+        # reference's windows.
+        self.n_fuse_neighbors = (
+            n_fuse_neighbors if n_fuse_neighbors is not None
+            else tpu.fuse_first_neighbors
+        )
+        self.n_fuse_second = tpu.fuse_second_neighbors
+        self.ba_n_local = tpu.ba_local_window
+        self.ba_n_fixed = tpu.ba_fixed_window
         self.cam = settings.camera_model()
         orb = settings.orb
         # numpy (NOT jnp): closure-captured by jitted programs; device-array
@@ -454,36 +480,47 @@ class LocalMapper:
         # the keyframe-sharded distributed solver (parallel/dist_ba.py) —
         # same Schur LM engine, landmark blocks psum-reduced over ICI.
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
-        # Mono needs a wider triangulation neighborhood for parallax (the
-        # reference uses 20 covisible neighbors mono vs 10 stereo/RGB-D,
-        # LocalMapping.cc:≈190); scaled to our smaller local windows.
-        self.n_tri_neighbors = 8 if sensor == "mono" else 4
+        # Mono needs a wider triangulation neighborhood for parallax: the
+        # reference uses 20 covisible neighbors mono vs 10 stereo/RGB-D
+        # (LocalMapping.cc:≈190).
+        self.n_tri_neighbors = (
+            tpu.tri_neighbors_mono if sensor == "mono"
+            else tpu.tri_neighbors_stereo
+        )
         # Scale-aware KF culling params: the stereo/RGB-D close-point gate
         # (LocalMapping.cc:≈520) only applies when a baseline exists.
         self._bf = float(settings.camera.bf) if sensor != "mono" else 0.0
         self._cull_th_depth = float(getattr(settings.camera, "th_depth", 0.0))
 
-    def _local_ba(self, m: ms.MapState, kf_id) -> ms.MapState:
-        # Landmark-compaction cap: the window's unique points are bounded
-        # by roughly 2 frames' worth of features (new KF spawn + shared
-        # local points) — 2x the feature capacity covers it with headroom
-        # while keeping the solver's per-iteration landmark tensors small.
-        pt_cap = min(4096, 2 * m.feat_capacity)
+    def _local_ba(self, m: ms.MapState, kf_id, n_now: int = None) -> ms.MapState:
+        # Window bucketed to the map's current size: the reference frees
+        # ALL covisibles + fixes all other observers (Optimizer.cc:≈460);
+        # our caps are config.tpu.ba_local_window/ba_fixed_window and the
+        # compiled problem grows with the map up to those caps.
+        if n_now is None:
+            n_now = int(jax.device_get(m.n_kf))
+        n_local = _bucket(self.ba_n_local, n_now)
+        n_fixed = min(self.ba_n_fixed, n_local)
+        # Landmark-compaction cap: scale with the number of free cameras —
+        # each camera contributes at most one frame's worth of features,
+        # heavily shared within the window.
+        pt_cap = min(8192, max(2, n_local // 2) * m.feat_capacity)
         if self.mesh is not None:
             from ..parallel.dist_ba import distributed_local_ba
 
             return distributed_local_ba(
                 m, kf_id, self.mesh, self.cam, self.inv_sigma2,
-                pt_cap=pt_cap,
+                n_local=n_local, n_fixed=n_fixed, pt_cap=pt_cap,
             )
         return local_bundle_adjustment(
-            m, kf_id, self.cam, self.inv_sigma2, pt_cap=pt_cap
+            m, kf_id, self.cam, self.inv_sigma2,
+            n_local=n_local, n_fixed=n_fixed, pt_cap=pt_cap,
         )
 
     def on_initial_map(self, m: ms.MapState) -> ms.MapState:
         """Post-initialization polish (the reference runs GBA(20) here)."""
         if self.enable_ba:
-            m = self._local_ba(m, jnp.int32(1))
+            m = self._local_ba(m, jnp.int32(1), n_now=2)
             m = ms.update_point_stats(m, self.scale_factors)
         return m
 
@@ -502,27 +539,69 @@ class LocalMapper:
             return abort is not None and abort.is_set()
 
         kf = jnp.int32(kf_id)
+        # Window buckets for this keyframe: sized to the map's current
+        # keyframe count (kf_id + 1 rows in use at insertion time).
+        n_now = int(kf_id) + 1
+        nn_tri = _bucket(self.n_tri_neighbors, n_now)
         m = cull_map_points(m)
-        tri_ids, _ = ms.best_covisible(m, kf, self.n_tri_neighbors)
+        tri_ids, _ = ms.best_covisible(m, kf, nn_tri)
         m = triangulate_new_points(
             m, kf, self.cam, self.scale_factors, self.sigma2,
-            n_neighbors=self.n_tri_neighbors,
+            n_neighbors=nn_tri,
         )
         fuse_ids = None
         if self.enable_fuse:
-            # SearchInNeighbors: fuse duplicates with the best covisible
-            # neighbors, both directions (LocalMapping.cc:≈370), matched as
-            # one batched program.
-            nn = self.n_fuse_neighbors
+            # SearchInNeighbors: fuse duplicates with the first-order
+            # covisible neighbors PLUS the second-order neighborhood of
+            # that group, both directions (LocalMapping.cc:≈370 uses ~10
+            # first + 5 second-order), matched as one batched program.
+            nn = _bucket(self.n_fuse_neighbors, n_now)
+            nn2 = _bucket(self.n_fuse_second, n_now) if (
+                self.n_fuse_second > 0 and n_now > nn
+            ) else 0
             neighbor_ids, weights = ms.best_covisible(m, kf, nn)
-            fuse_ids = neighbor_ids[:nn]
+            ring = neighbor_ids[:nn]
+            if nn2 > 0:
+                # Second-order = keyframes most covisible with the first
+                # RING (not with kf itself): vote by shared points with the
+                # ring's point union — the batched equivalent of each ring
+                # member's GetBestCovisibilityKeyFrames(5).
+                ring_pts = m.kf_point[ring]
+                ring_ok = (
+                    (ring_pts >= 0) & m.kf_kp_valid[ring]
+                    & m.kf_valid[ring][:, None]
+                )
+                member = (
+                    jnp.zeros((m.pt_capacity,), jnp.int32)
+                    .at[jnp.where(ring_ok, ring_pts, m.pt_capacity)
+                        .reshape(-1)].max(1, mode="drop")
+                ) > 0
+                obs_ok = (
+                    (m.kf_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+                )
+                votes2 = jnp.sum(
+                    member[jnp.where(obs_ok, m.kf_point, 0)] & obs_ok,
+                    axis=1,
+                ).astype(jnp.float32)
+                in_ring = (
+                    jnp.zeros((m.kf_capacity,), bool).at[ring].set(True)
+                    .at[kf].set(True)
+                )
+                v2, second = jax.lax.top_k(
+                    jnp.where(in_ring, -1.0, votes2), nn2
+                )
+                # Zero-weight second-order rows fuse as no-ops (the pair
+                # matcher masks on weight via kf_valid + projection gates).
+                fuse_targets = jnp.concatenate([ring, second])
+            else:
+                fuse_targets = ring
+            fuse_ids = fuse_targets
+            nbs = [fuse_targets[i] for i in range(fuse_targets.shape[0])]
             pairs_a = jnp.concatenate(
-                [jnp.stack([kf, nb]) for nb in
-                 [neighbor_ids[i] for i in range(nn)]]
+                [jnp.stack([kf, nb]) for nb in nbs]
             )
             pairs_b = jnp.concatenate(
-                [jnp.stack([nb, kf]) for nb in
-                 [neighbor_ids[i] for i in range(nn)]]
+                [jnp.stack([nb, kf]) for nb in nbs]
             )
             m = fuse_neighborhood(
                 m, pairs_a, pairs_b, self.cam, self.scale_factors,
@@ -530,7 +609,7 @@ class LocalMapper:
             )
         m = ms.update_point_stats(m, self.scale_factors)
         if self.enable_ba and not aborted():
-            m = self._local_ba(m, kf)
+            m = self._local_ba(m, kf, n_now=n_now)
             # NOTE: no stats refresh after BA — the reference recomputes
             # UpdateNormalAndDepth on creation/fuse/Replace, never after
             # LocalBundleAdjustment (src/LocalMapping.cc:≈190-500); the
@@ -546,6 +625,18 @@ class LocalMapper:
         touched = [kf[None], tri_ids]
         if fuse_ids is not None:
             touched.append(fuse_ids)
+        if self.enable_ba:
+            # Local BA's outlier unbinding changes observation sets of
+            # points whose remaining observers can lie anywhere in the BA
+            # window — include the window keyframes so their descriptors
+            # are refreshed too (the reference recomputes on every
+            # EraseObservation, MapPoint.cc:≈140).
+            row = ms.covisible_row(m, kf)
+            _, ba_window = jax.lax.top_k(
+                row, min(self.ba_n_local + self.ba_n_fixed,
+                         int(row.shape[0]))
+            )
+            touched.append(ba_window.astype(jnp.int32))
         m = ms.compute_distinctive_descriptors(
             m, touched_kfs=jnp.concatenate(touched)
         )

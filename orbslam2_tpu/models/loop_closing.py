@@ -91,7 +91,7 @@ class LoopCloser:
         database: KeyframeDatabase,
         fix_scale: bool,
         enable_gba: bool = True,
-        gba_mode: str = "alternation",
+        gba_mode: str = "joint",
         mesh=None,
     ):
         # enable_gba: run the global-refinement stage after the essential
@@ -99,10 +99,12 @@ class LoopCloser:
         # by default now that SearchAndFuse applies the full MapPoint::
         # Replace.  Runs in abortable segments — the mbStopGBA/InterruptBA
         # analog — when the tracker needs the map.
-        # gba_mode: "alternation" (default) = resection/intersection
-        # block-coordinate descent (O(K + P) memory, any scale); "joint" =
-        # one Schur LM problem over the whole active map (the reference's
-        # g2o BundleAdjustment shape, to a few hundred KFs).  Either mode's
+        # gba_mode: "joint" (default — the reference's g2o
+        # BundleAdjustment is ONE problem, Optimizer.cc:≈60-80) = one
+        # Schur LM problem over the whole active map, automatically
+        # falling back per-segment to "alternation" (resection/
+        # intersection block-coordinate descent, O(K + P) memory, any
+        # scale) when the map exceeds the joint solver's camera cap.  Either mode's
         # result is accepted only if it keeps the verified loop edges
         # closed (loop_edges_still_closed): on a map whose observation
         # graph still encodes pre-loop drift (e.g. mapping ran degraded),
@@ -189,11 +191,11 @@ class LoopCloser:
         # Candidate query + each candidate's covisible group + the pool
         # state (for the tracker's adoption-time maintenance) arrive in ONE
         # batched readback (kf_database._grouped_candidates).
-        cand_ids, _, covis_groups = self.db.detect_loop_candidates(
+        cand_ids, _, covis_groups, extras = self.db.detect_loop_candidates(
             m, kf_id, extras=(m.kf_valid, m.n_kf)
         )
-        if self.db.last_extras is not None:
-            kv, nk = self.db.last_extras
+        if extras is not None:
+            kv, nk = extras
             self.pool_state = (kv, int(nk))
         # Consistency: a candidate (or its covisible group) must persist 3
         # consecutive keyframes.
@@ -342,6 +344,9 @@ class LoopCloser:
             return None
 
         if int(n_matches) < 20:
+            self.metrics.setdefault("bow_match_counts", []).append(
+                int(n_matches)
+            )
             return reject("bow")
         if not bool(ransac_ok):
             return reject("ransac")
@@ -376,8 +381,20 @@ class LoopCloser:
         path_len = float(np.linalg.norm(np.diff(centers, axis=0), axis=1).sum())
         max_dt = max(self.max_drift_frac * path_len, self.min_drift_abs)
         max_ang = max(20.0, 0.5 * len(ids))
-        max_ds = 1.0 + self.max_drift_frac
+        # Scale bound: with a stereo/RGB-D baseline, scale is observable
+        # and the Sim3 scale must stay near 1.  MONOCULAR scale drift is
+        # unobservable and compounds multiplicatively along the loop —
+        # that drift is exactly what the free-scale Sim3 path exists to
+        # correct (LoopClosing.cc mbFixScale=false), so only reject
+        # absurd alignments there (measured: legitimate mono circles
+        # arrive with s ~ 0.6-1.6 while translation/rotation agree to
+        # centimeters/degrees).
+        max_ds = (1.0 + self.max_drift_frac) if self.fix_scale else 4.0
         if dt > max_dt or ang > max_ang or not (1 / max_ds <= s_est <= max_ds):
+            self.metrics.setdefault("odom_reject_detail", []).append(
+                (round(dt, 3), round(max_dt, 3), round(ang, 1),
+                 round(max_ang, 1), round(s_est, 3), round(max_ds, 3))
+            )
             return reject("odom")
         return ores.S12
 

@@ -95,6 +95,7 @@ def _fused_track(
     inv_sigma2: jnp.ndarray,
     th_depth: float,
     sensor: str,
+    local_window: int = 80,
 ) -> TrackOut:
     """The Track() chain on device.  All nested jitted steps inline."""
     N = frame.xy.shape[0]
@@ -160,7 +161,9 @@ def _fused_track(
 
     # --- 3. local-map tracking ---------------------------------------------
     def run_local(T, b, rmult):
-        local_ids, local_valid = gather_local_points(m, b)
+        local_ids, local_valid = gather_local_points(
+            m, b, n_local_kfs=local_window
+        )
         T2, b2, n2, m2 = track_local_map(
             m, frame, T, b, local_ids, local_valid, cam,
             scale_factors, inv_sigma2, rmult,
@@ -206,9 +209,25 @@ def _fused_track(
 
     # NeedNewKeyFrame (Tracking.cc:≈980): ref-KF match ratio + max frame gap
     # + close-point starvation (stereo/RGB-D).  Host applies the
-    # localization-only override; capacity is checked here.
+    # localization-only override and the mapper-idle/queue gates (_kf_gate
+    # — the SetAcceptKeyFrames/InterruptBA protocol); capacity and the
+    # post-relocalization suppression are checked here.
+    # nRefMatches counts ref-KF points with >= nMinObs observers (the
+    # reference uses nMinObs = 3 once the map has > 2 keyframes) — weakly
+    # observed points don't count toward the "map is still well observed
+    # here" evidence.
+    obs_counts = (
+        jnp.zeros((m.pt_capacity,), jnp.int32)
+        .at[jnp.where(
+            (m.kf_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None],
+            m.kf_point, m.pt_capacity,
+        )].add(1, mode="drop")
+    )
+    ref_pid = m.kf_point[ctx.ref_kf]
+    ref_bound = (ref_pid >= 0) & m.kf_kp_valid[ctx.ref_kf]
+    min_obs = jnp.where(m.n_kf > 2, 3, 1)
     kf_tracked = jnp.sum(
-        (m.kf_point[ctx.ref_kf] >= 0) & m.kf_kp_valid[ctx.ref_kf]
+        ref_bound & (obs_counts[jnp.maximum(ref_pid, 0)] >= min_obs)
     ).astype(jnp.int32)
     ratio_th = 0.9 if sensor == "mono" else 0.75
     need = (nf.astype(jnp.float32) < ratio_th * kf_tracked.astype(jnp.float32)) & (nf > 15)
@@ -286,7 +305,8 @@ _TRACKER_CACHE: dict = {}
 
 
 def _tracker_cache_key(kind, extractor, cam, scale_factors, inv_sigma2,
-                       sensor, th_depth, depth_map_factor, donate_map):
+                       sensor, th_depth, depth_map_factor, donate_map,
+                       local_window=80):
     import numpy as _np
 
     def b(v):
@@ -300,6 +320,7 @@ def _tracker_cache_key(kind, extractor, cam, scale_factors, inv_sigma2,
         tuple(b(v) for v in cam),
         b(scale_factors), b(inv_sigma2),
         sensor, float(th_depth), float(depth_map_factor), bool(donate_map),
+        int(local_window),
     )
 
 
@@ -312,6 +333,7 @@ def make_fused_chunk_tracker(
     th_depth: float,
     depth_map_factor: float = 1.0,
     donate_map: bool = True,
+    local_window: int = 80,
 ):
     """C frames of tracking as ONE device program (`lax.scan`).
 
@@ -328,16 +350,18 @@ def make_fused_chunk_tracker(
     frames: no frame batching, the honest serial SLAM path (SURVEY.md §7).
 
     Returns a jitted callable
-        chunk(*img_stacks, m, ctx, fid0, allow_kf) -> ChunkOut
+        chunk(*img_stacks, m, ctx, fid0, min_kf_fid) -> ChunkOut
     where each img stack has a leading C dim, ``fid0`` is the frame id of
-    the first frame and ``allow_kf`` gates keyframe creation
-    (localization-only mode, Tracking::InformOnlyTracking).
+    the first frame and ``min_kf_fid`` gates keyframe creation: frames
+    with fid < min_kf_fid never insert (localization-only mode passes a
+    huge value — Tracking::InformOnlyTracking; the post-relocalization
+    suppression passes reloc_fid + MaxFrames, Tracking.cc:≈990).
     """
     from .tracking import add_points, insert_keyframe, unproject_frame_depth
 
     key = _tracker_cache_key(
         "chunk", extractor, cam, scale_factors, inv_sigma2, sensor,
-        th_depth, depth_map_factor, donate_map,
+        th_depth, depth_map_factor, donate_map, local_window,
     )
     if key in _TRACKER_CACHE:
         return _TRACKER_CACHE[key]
@@ -353,16 +377,16 @@ def make_fused_chunk_tracker(
 
     def chunk(*args):
         img_stacks = args[:n_inputs]
-        m, ctx, fid0, allow_kf = args[n_inputs:]
+        m, ctx, fid0, min_kf_fid = args[n_inputs:]
 
         def scan_body(carry, xs):
             m, ctx, fid = carry
             frame = build_frame(xs)
             out = _fused_track(
                 m, frame, ctx, cam, scale_factors, inv_sigma2,
-                th_depth, sensor,
+                th_depth, sensor, local_window=local_window,
             )
-            need = (out.flags[FLAG_NEED_KF] > 0) & allow_kf
+            need = (out.flags[FLAG_NEED_KF] > 0) & (fid >= min_kf_fid)
 
             def with_kf(m):
                 bindings = out.bindings
@@ -407,7 +431,14 @@ def make_fused_chunk_tracker(
         (m, ctx, _), ys = jax.lax.scan(
             scan_body, (m, ctx, fid0), img_stacks
         )
-        return ChunkOut(m, ctx, *ys, kf_valid=m.kf_valid, n_kf=m.n_kf)
+        # Explicit copies, NOT aliases of the map leaves: the map output is
+        # donated into the next chunk dispatch while the host may still be
+        # waiting to read these under lag-1 resolution; if XLA dedups the
+        # duplicated outputs to one buffer, the read would observe a
+        # donated (deleted/reused) buffer on real TPU backends.
+        return ChunkOut(
+            m, ctx, *ys, kf_valid=m.kf_valid | False, n_kf=m.n_kf + 0
+        )
 
     donate = (n_inputs,) if donate_map else ()
     jitted = jax.jit(chunk, donate_argnums=donate)
@@ -424,6 +455,7 @@ def make_fused_frame_tracker(
     th_depth: float,
     depth_map_factor: float = 1.0,
     donate_map: bool = True,
+    local_window: int = 80,
 ):
     """Build the single-dispatch per-frame program for one sensor config.
 
@@ -438,7 +470,7 @@ def make_fused_frame_tracker(
     """
     key = _tracker_cache_key(
         "frame", extractor, cam, scale_factors, inv_sigma2, sensor,
-        th_depth, depth_map_factor, donate_map,
+        th_depth, depth_map_factor, donate_map, local_window,
     )
     if key in _TRACKER_CACHE:
         return _TRACKER_CACHE[key]
@@ -449,7 +481,7 @@ def make_fused_frame_tracker(
             frame = build_mono_frame(image, extractor, cam)
             return _fused_track(
                 m, frame, ctx, cam, scale_factors, inv_sigma2,
-                th_depth, sensor,
+                th_depth, sensor, local_window=local_window,
             )
 
         jitted = jax.jit(step, donate_argnums=(1,) if donate_map else ())
@@ -462,7 +494,7 @@ def make_fused_frame_tracker(
             )
             return _fused_track(
                 m, frame, ctx, cam, scale_factors, inv_sigma2,
-                th_depth, sensor,
+                th_depth, sensor, local_window=local_window,
             )
 
         jitted = jax.jit(step, donate_argnums=(2,) if donate_map else ())
@@ -475,7 +507,7 @@ def make_fused_frame_tracker(
             )
             return _fused_track(
                 m, frame, ctx, cam, scale_factors, inv_sigma2,
-                th_depth, sensor,
+                th_depth, sensor, local_window=local_window,
             )
 
         jitted = jax.jit(step, donate_argnums=(2,) if donate_map else ())

@@ -245,11 +245,13 @@ def track_reference_keyframe(
 @functools.partial(jax.jit, static_argnames=("n_local", "n_local_kfs"))
 def gather_local_points(
     m: ms.MapState, bindings: jnp.ndarray, n_local: int = 4096,
-    n_local_kfs: int = 16,
+    n_local_kfs: int = 80,
 ):
     """Local map = points observed by the keyframes sharing the most points
-    with the current frame (Tracking::UpdateLocalKeyFrames/Points,
-    Tracking.cc:≈1190-1300), as fixed-size gathers.
+    with the current frame (K1) plus the covisible neighborhood of that
+    group (K2) — Tracking::UpdateLocalKeyFrames/Points
+    (Tracking.cc:≈1190-1300), K1+K2 capped at ``n_local_kfs`` (the
+    reference's 80).  Fixed-size gathers.
 
     Returns (pt_ids (n_local,), valid (n_local,)).
 
@@ -260,6 +262,10 @@ def gather_local_points(
     """
     n_local = min(n_local, m.pt_capacity)
     n_local_kfs = min(n_local_kfs, m.kf_capacity)
+    # K1 gets ~60% of the cap, K2 the rest (the reference bounds only the
+    # total; K1 members always outrank K2 in relevance).
+    n_k1 = max(1, (n_local_kfs * 3) // 5)
+    n_k2 = n_local_kfs - n_k1
     bound = bindings >= 0
     pid = jnp.where(bound, bindings, m.pt_capacity)
     in_frame = (
@@ -269,21 +275,42 @@ def gather_local_points(
     obs_ok = (
         (m.kf_point >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
     )
+    pts_all = jnp.where(obs_ok, m.kf_point, 0)
     votes = jnp.sum(
-        in_frame[jnp.where(obs_ok, m.kf_point, 0)] & obs_ok, axis=1
+        in_frame[pts_all] & obs_ok, axis=1
     ).astype(jnp.float32)  # (K,)
-    _, local_kfs = jax.lax.top_k(votes, n_local_kfs)
-    # Union of their points (scatter from the selected rows only).
-    sel_pts = m.kf_point[local_kfs]
-    sel_ok = (
-        (sel_pts >= 0) & m.kf_kp_valid[local_kfs]
-        & m.kf_valid[local_kfs][:, None]
-    )
-    sel_idx = jnp.where(sel_ok, sel_pts, m.pt_capacity)
-    seen = (
-        jnp.zeros((m.pt_capacity,), jnp.int32)
-        .at[sel_idx.reshape(-1)].max(1, mode="drop")
-    ) > 0
+    _, local_kfs = jax.lax.top_k(votes, n_k1)
+    k1_hit = votes[local_kfs] > 0
+
+    def union_points(kf_ids, ok_rows):
+        sel_pts = m.kf_point[kf_ids]
+        sel_ok = (
+            (sel_pts >= 0) & m.kf_kp_valid[kf_ids]
+            & m.kf_valid[kf_ids][:, None] & ok_rows[:, None]
+        )
+        sel_idx = jnp.where(sel_ok, sel_pts, m.pt_capacity)
+        return (
+            jnp.zeros((m.pt_capacity,), jnp.int32)
+            .at[sel_idx.reshape(-1)].max(1, mode="drop")
+        ) > 0
+
+    seen = union_points(local_kfs, k1_hit)
+    if n_k2 > 0:
+        # K2 = keyframes most covisible with the K1 GROUP (neighbors of the
+        # local window, Tracking.cc:≈1240 expands each K1 member's top
+        # covisibles + spanning-tree family; the group-covisibility count
+        # is the batched equivalent): votes2 = #points each KF shares with
+        # K1's point union.
+        in_k1 = (
+            jnp.zeros((m.kf_capacity,), jnp.int32)
+            .at[local_kfs].max(k1_hit.astype(jnp.int32), mode="drop")
+        ) > 0
+        votes2 = jnp.sum(
+            seen[pts_all] & obs_ok, axis=1
+        ).astype(jnp.float32)
+        votes2 = jnp.where(in_k1, -1.0, votes2)
+        v2, k2_kfs = jax.lax.top_k(votes2, n_k2)
+        seen = seen | union_points(k2_kfs, v2 > 0)
     seen = seen & m.pt_valid
     # Fixed-size id list: top_k over the mask (arbitrary order within ties).
     score = seen.astype(jnp.float32)
@@ -586,6 +613,9 @@ class Tracker:
         # _dispatch_chunk / _adopt) — maintenance reads these instead of
         # paying a dedicated device sync.
         self._host_kf_valid = None
+        # Post-relocalization keyframe suppression (Tracking.cc:≈990): no
+        # insertion within MaxFrames of a relocalization on a mature map.
+        self._no_kf_before = 0
         self._host_n_kf = None
         # Trajectory: list of (frame_id, T_cw 4x4 numpy, ref_kf, is_lost)
         self.trajectory = []
@@ -668,6 +698,7 @@ class Tracker:
                 self.extractor, self.cam, self.scale_factors,
                 self.inv_sigma2, sensor, self._th_depth(),
                 self.settings.camera.depth_map_factor,
+                local_window=self.settings.tpu.local_window,
             )
             self._fused_sensor = sensor
         return self._fused_step
@@ -754,6 +785,7 @@ class Tracker:
                 self.n_tracked_history.append(int(n_r))
                 self.metrics["relocalizations"] += 1
                 self.metrics["track_path"] = "reloc"
+                self._mark_reloc()
                 relocated = True
 
         if created or relocated:
@@ -900,6 +932,7 @@ class Tracker:
                 self.n_tracked_history.append(int(n_r))
                 self.metrics["relocalizations"] += 1
                 self.metrics["track_path"] = "reloc"
+                self._mark_reloc()
                 relocated = True
                 if self._next_ctx is not None:
                     # Re-anchor the chain at the relocalized pose with the
@@ -940,6 +973,7 @@ class Tracker:
                 self.extractor, self.cam, self.scale_factors,
                 self.inv_sigma2, sensor, self._th_depth(),
                 self.settings.camera.depth_map_factor,
+                local_window=self.settings.tpu.local_window,
             )
             self._fused_sensor = sensor
         return self._chunk_step
@@ -995,9 +1029,14 @@ class Tracker:
                 allow_kf = False
         ctx = self._next_ctx if self._next_ctx is not None else self._make_ctx()
         step = self._get_chunk_step(sensor)
+        # min_kf_fid: 2**30 disables keyframes for this chunk; otherwise
+        # the post-relocalization suppression threshold (Tracking.cc:≈990:
+        # no insertion within MaxFrames of a relocalization on a mature
+        # map).
+        min_kf_fid = (2**30) if not allow_kf else self._no_kf_before
         out = step(
             *stacks, self.map, ctx, jnp.int32(fid0),
-            jnp.asarray(allow_kf),
+            jnp.int32(min_kf_fid),
         )
         self.map = out.m
         self._next_ctx = out.next_ctx
@@ -1168,6 +1207,7 @@ class Tracker:
                 self.n_tracked_history.append(int(n_r))
                 self.metrics["relocalizations"] += 1
                 self.metrics["track_path"] = "reloc"
+                self._mark_reloc()
                 self.trajectory[-1] = (
                     self.trajectory[-1][0],
                     np.asarray(T) @ np.linalg.inv(
@@ -1281,7 +1321,10 @@ class Tracker:
         )
         rmult = jnp.float32(2.0 if weak else 1.0)
         if ok:
-            local_ids, local_valid = gather_local_points(self.map, bindings)
+            local_ids, local_valid = gather_local_points(
+                self.map, bindings,
+                n_local_kfs=self.settings.tpu.local_window,
+            )
             T, bindings, n_in, self.map = track_local_map(
                 self.map, frame, T, bindings, local_ids, local_valid,
                 self.cam, self.scale_factors, self.inv_sigma2, rmult,
@@ -1300,7 +1343,10 @@ class Tracker:
             if int(n_in) >= 6:
                 # Even a weak ref-KF pose is often rescued by the local-map
                 # top-up (wide windows) — gate on the FINAL inlier count.
-                local_ids, local_valid = gather_local_points(self.map, bindings)
+                local_ids, local_valid = gather_local_points(
+                self.map, bindings,
+                n_local_kfs=self.settings.tpu.local_window,
+            )
                 T, bindings, n_in, self.map = track_local_map(
                     self.map, frame, T, bindings, local_ids, local_valid,
                     self.cam, self.scale_factors, self.inv_sigma2,
@@ -1354,6 +1400,7 @@ class Tracker:
                 self.n_tracked_history.append(int(n_in))
                 self.metrics["relocalizations"] += 1
                 self.metrics["track_path"] = "reloc"
+                self._mark_reloc()
 
         self._log_pose(frame)
         # When a keyframe was created, _create_keyframe already stored the
@@ -1491,18 +1538,28 @@ class Tracker:
     def _need_new_keyframe(
         self, frame: Frame, bindings, n_inliers: int, sensor: str
     ) -> bool:
-        """Tracking::NeedNewKeyFrame (Tracking.cc:≈980), simplified to the
-        load-bearing conditions: reference-keyframe match ratio + max frame
-        gap + close-point starvation (stereo/RGB-D)."""
+        """Tracking::NeedNewKeyFrame (Tracking.cc:≈980): reference-keyframe
+        match ratio (min-obs-3 reference matches) + max frame gap +
+        close-point starvation (stereo/RGB-D) + post-relocalization
+        suppression.  The mapper-idle / queue-length conditions live in
+        _kf_gate (SetAcceptKeyFrames / InterruptBA / bounded urgent
+        adopt)."""
         if self.localization_only:  # mbOnlyTracking: never insert
             return False
         if int(self.map.n_kf) >= self.map.kf_capacity - 1:
             return False
+        if self.frame_id < self._no_kf_before:
+            return False
         frames_since = self.frame_id - self.last_kf_frame_id
+        n_kf_now = int(self.map.n_kf)
+        min_obs = 3 if n_kf_now > 2 else 1
+        obs_counts = ms.point_observation_counts(self.map)
+        ref_pid = self.map.kf_point[self.ref_kf]
+        ref_bound = (ref_pid >= 0) & self.map.kf_kp_valid[self.ref_kf]
         kf_tracked = int(
             (
-                (self.map.kf_point[self.ref_kf] >= 0)
-                & self.map.kf_kp_valid[self.ref_kf]
+                ref_bound
+                & (obs_counts[jnp.maximum(ref_pid, 0)] >= min_obs)
             ).sum()
         )
         ratio_th = 0.9 if sensor == "mono" else 0.75
@@ -1519,6 +1576,19 @@ class Tracker:
             )
             need = need or (n_close_tracked < 100 and n_close_total > 70)
         return need and frames_since >= 1
+
+    def _mark_reloc(self):
+        """Suppress keyframe insertion for MaxFrames(=10 frames here) after
+        a relocalization on a mature map (Tracking.cc:≈990: `mnId <
+        mnLastRelocFrameId + mMaxFrames && nKFs > mMaxFrames` → no
+        insertion) — right after reloc the pose is anchored to OLD
+        keyframes and inserting immediately duplicates them."""
+        n_kf = (
+            self._host_n_kf if self._host_n_kf is not None
+            else int(jax.device_get(self.map.n_kf))
+        )
+        if n_kf > 10:
+            self._no_kf_before = self.frame_id + 10
 
     def _relocalize(self, frame: Frame):
         """Tracking::Relocalization (Tracking.cc:≈1310): BoW candidates ->
@@ -1560,7 +1630,10 @@ class Tracker:
                 )
             if not bool(pnp_ok) or int(n_in) < 10:
                 continue
-            local_ids, local_valid = gather_local_points(self.map, bindings)
+            local_ids, local_valid = gather_local_points(
+                self.map, bindings,
+                n_local_kfs=self.settings.tpu.local_window,
+            )
             T, bindings, n_in, self.map = track_local_map(
                 self.map, frame, T, bindings, local_ids, local_valid,
                 self.cam, self.scale_factors, self.inv_sigma2,

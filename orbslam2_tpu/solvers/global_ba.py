@@ -183,8 +183,13 @@ def global_bundle_adjustment(
         # never erases observations at all (only local BA does,
         # Optimizer.cc:≈640), so only prune when this solve actually
         # improved the map.
+        # Measured over the SAME mask as err_initial (obs_ok): an
+        # observation pruned mid-solve contributed chi2_th to err_initial
+        # and must keep contributing (capped) here, otherwise mask
+        # shrinkage alone reads as "improved" even when every GN round
+        # reverted — exactly the unconverged case this gate exists for.
         err_final = jnp.sum(
-            jnp.where(obs_mask, jnp.minimum(chi2_all(poses, pts), chi2_th),
+            jnp.where(obs_ok, jnp.minimum(chi2_all(poses, pts), chi2_th),
                       0.0)
         )
         improved = err_final < err_initial

@@ -20,9 +20,9 @@ def submit(m, kf_id):
     t0 = time.perf_counter()
     orig_submit(m, kf_id)
     job_times.append(["submit", kf_id, time.perf_counter() - t0])
-def wait():
+def wait(timeout=None):
     t0 = time.perf_counter()
-    r = orig_wait()
+    r = orig_wait(timeout=timeout)
     wait_times.append(time.perf_counter() - t0)
     return r
 mp.submit, mp.wait = submit, wait
