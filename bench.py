@@ -87,9 +87,15 @@ def main():
 
     # Warmup pass: compiles the chunk tracker + every mapping/loop program
     # on the shapes the timed pass will use.
+    # Half the sequence suffices to compile the chunk tracker + resolution
+    # + adoption paths; warm_mapping() then precompiles BOTH window-bucket
+    # variants of every mapping stage and the loop-detection/verification
+    # programs (keyframe ids drift run to run, and a bucket boundary first
+    # crossed mid-run would pay a 10-60 s compile through the tunnel).
     sys = make_system()
-    run(sys, imgs, deps)
+    run(sys, imgs[: len(imgs) // 2], deps[: len(deps) // 2])
     kf_warm = sys.tracker.metrics["keyframes_created"]
+    sys.warm_mapping()
 
     # Median of 3 timed passes: one bad pass (tunnel sync hiccup, stray
     # host load) must not halve the official number (round-3 verdict #1).

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--viewer", action="store_true",
                     help="write map/frame PNG snapshots (viewer-lite)")
+    ap.add_argument("--viewer-every", type=int, default=0,
+                    help="live viewer: snapshot every N keyframes + on "
+                         "each loop closure (Viewer::Run loop role)")
+    ap.add_argument("--follow-radius", type=float, default=0.0,
+                    help="live viewer follow-camera window half-size")
     ap.add_argument("--profile", action="store_true",
                     help="write a jax.profiler trace to OUT/trace")
     args = ap.parse_args()
@@ -81,6 +86,15 @@ def main():
     if args.no_ba and system.local_mapper is not None:
         system.local_mapper.enable_ba = False
 
+    live_viewer = None
+    if args.viewer_every > 0:
+        from orbslam2_tpu.utils.viewer import LiveViewer
+
+        live_viewer = LiveViewer(
+            args.out, every_kf=args.viewer_every,
+            follow_radius=args.follow_radius,
+        )
+
     if args.profile:
         import jax
 
@@ -99,6 +113,8 @@ def main():
                 seq.images[i][0], seq.images[i][1], seq.timestamps[i]
             )
         times.append(time.perf_counter() - t0)
+        if live_viewer is not None:
+            live_viewer.update(system)
         st = {0: "INIT", 1: "OK", 2: "LOST"}[system.tracking_state()]
         print(
             f"frame {i:3d}  state={st:5s}  kfs={int(system.map.n_kf):3d}  "
@@ -107,6 +123,9 @@ def main():
         )
 
     system.shutdown()  # drain in-flight frames + async mapping jobs
+    if live_viewer is not None:
+        live_viewer.finish(system, gt_trajectory=seq.poses_wc)
+        print(f"live viewer: {live_viewer.n_snaps} snapshots in {args.out}")
     if args.profile:
         import jax
 

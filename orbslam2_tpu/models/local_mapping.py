@@ -37,18 +37,21 @@ from . import map_state as ms
 NO_POINT = ms.NO_POINT
 
 
-def _bucket(cap: int, n: int, lo: int = 4) -> int:
-    """Smallest power-of-two-ish window >= min(cap, n), clamped to cap.
+def _bucket(cap: int, n: int, lo: int = 8) -> int:
+    """TWO-level window bucket: ``lo`` while the map is small, ``cap``
+    (the reference-scale window) once it outgrows it.
 
     The reference's association windows are bounded by the number of
     covisible keyframes that EXIST; with fixed compiled shapes we bucket
     the window to the map's current size so a young map compiles small,
-    fast problems and a mature map reaches the full reference-scale cap
-    (each bucket compiles once; log2(cap) variants total)."""
-    v = lo
-    while v < min(cap, n):
-        v *= 2
-    return min(v, cap)
+    fast problems and a mature map reaches the full reference-scale cap.
+    Exactly two compiled variants per stage: keyframe insertion ids drift
+    between runs (async mapping timing), so a finer ladder would recompile
+    MID-RUN whenever a run crosses a bucket boundary warmup never saw —
+    measured at 10-60 s per recompile through the TPU tunnel, worse than
+    any window-size saving.  LocalMapper.warm() precompiles both."""
+    lo = min(lo, cap)
+    return lo if n <= lo else cap
 
 
 @jax.jit
@@ -492,6 +495,18 @@ class LocalMapper:
         self._bf = float(settings.camera.bf) if sensor != "mono" else 0.0
         self._cull_th_depth = float(getattr(settings.camera, "th_depth", 0.0))
 
+    def warm(self, m: ms.MapState, kf_id: int = 1) -> None:
+        """Precompile BOTH window buckets of every mapping stage on the
+        current pool shapes.  Called once after a driver's warmup pass —
+        without this, the first keyframe past a bucket boundary pays a
+        10-60 s mid-run compile through the TPU tunnel (the round-3 bench
+        regression's biggest single component)."""
+        import jax as _jax
+
+        for n_now in (1, 1 << 30):
+            out = self.process_keyframe(m, kf_id, n_now=n_now)
+            _jax.block_until_ready(out.kf_pose_cw)
+
     def _local_ba(self, m: ms.MapState, kf_id, n_now: int = None) -> ms.MapState:
         # Window bucketed to the map's current size: the reference frees
         # ALL covisibles + fixes all other observers (Optimizer.cc:≈460);
@@ -525,7 +540,7 @@ class LocalMapper:
         return m
 
     def process_keyframe(self, m: ms.MapState, kf_id: int,
-                         abort=None) -> ms.MapState:
+                         abort=None, n_now: int = None) -> ms.MapState:
         """Per-keyframe mapping sequence.  ``abort``: optional
         threading.Event — the InterruptBA analog (src/LocalMapping.cc
         mbAbortBA): when set mid-job, the remaining OPTIONAL stages (local
@@ -541,8 +556,14 @@ class LocalMapper:
         kf = jnp.int32(kf_id)
         # Window buckets for this keyframe: sized to the map's current
         # keyframe count (kf_id + 1 rows in use at insertion time).
-        n_now = int(kf_id) + 1
-        nn_tri = _bucket(self.n_tri_neighbors, n_now)
+        # ``n_now`` override: warm() forces both buckets at compile time.
+        # ONE shared small/large switch for every stage so exactly TWO
+        # compiled variants of the whole job exist (warm() covers both);
+        # per-stage thresholds would multiply combos and recompile mid-run.
+        if n_now is None:
+            n_now = int(kf_id) + 1
+        small = n_now <= 8
+        nn_tri = min(8, self.n_tri_neighbors) if small else self.n_tri_neighbors
         m = cull_map_points(m)
         tri_ids, _ = ms.best_covisible(m, kf, nn_tri)
         m = triangulate_new_points(
@@ -555,10 +576,9 @@ class LocalMapper:
             # covisible neighbors PLUS the second-order neighborhood of
             # that group, both directions (LocalMapping.cc:≈370 uses ~10
             # first + 5 second-order), matched as one batched program.
-            nn = _bucket(self.n_fuse_neighbors, n_now)
-            nn2 = _bucket(self.n_fuse_second, n_now) if (
-                self.n_fuse_second > 0 and n_now > nn
-            ) else 0
+            nn = min(8, self.n_fuse_neighbors) if small \
+                else self.n_fuse_neighbors
+            nn2 = 0 if small else self.n_fuse_second
             neighbor_ids, weights = ms.best_covisible(m, kf, nn)
             ring = neighbor_ids[:nn]
             if nn2 > 0:

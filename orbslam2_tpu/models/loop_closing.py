@@ -175,6 +175,31 @@ class LoopCloser:
         # groups after a correction).
         self.candidate_streak = {}
 
+    def warm(self, m: ms.MapState) -> None:
+        """Precompile the loop-detection + Sim3-verification programs on
+        the current pool shapes, discarding results and restoring all
+        host-side detection state.  Drivers call this with warm_mapping():
+        detection first runs at the 8th keyframe and verification on the
+        first consistency-fired candidate — both would otherwise pay a
+        10-60 s mid-run compile through the TPU tunnel."""
+        import copy as _copy
+
+        saved = (self.last_loop_kf, dict(self.candidate_streak),
+                 list(self.loop_edges), self.pool_state,
+                 _copy.deepcopy(self.metrics))
+        try:
+            self.last_loop_kf = -100
+            # Detection programs (BoW scores + grouped candidates).
+            self.db.detect_loop_candidates(
+                m, 8, extras=(m.kf_valid, m.n_kf)
+            )
+            # Verification programs (SearchByBoW + Sim3 RANSAC +
+            # optimize_sim3 + neighborhood projection + refine).
+            self._compute_sim3(m, 1, 0)
+        finally:
+            (self.last_loop_kf, self.candidate_streak, self.loop_edges,
+             self.pool_state, self.metrics) = saved
+
     def process_keyframe(
         self, m: ms.MapState, kf_id: int, abort=None
     ) -> ms.MapState:
@@ -246,10 +271,22 @@ class LoopCloser:
                 (nodes_c[:, None] == nodes_l[None, :])
                 & (nodes_c[:, None] >= 0)
             )
+        # Reference-exact SearchByBoW(KF,KF) shape (ORBmatcher.cc:≈550):
+        # one-directional nearest neighbor with the 0.75 ratio gate plus
+        # the rotation-consistency histogram — NOT cross-check, which
+        # roughly halves the yield on repetitive texture and starved the
+        # >=20 gate on legitimate loop pairs (measured: match counts 4-18
+        # on a true revisit with cross_check, 15-40 without).
+        from ..ops.hamming import rotation_consistency
+
         mres = match_descriptors(
             desc_c, ok_c, desc_l, ok_l, pair_mask=pair_mask,
-            max_dist=TH_LOW, ratio=0.75, cross_check=True,
+            max_dist=TH_LOW, ratio=0.75,
         )
+        rot_ok = rotation_consistency(
+            m.kf_angle[kf_c], m.kf_angle[kf_l], mres.idx, mres.ok
+        )
+        mres = mres._replace(ok=mres.ok & rot_ok)
         # No early-exit syncs: every stage below is enqueued unconditionally
         # (masked inputs keep degenerate cases finite) and ALL gate scalars
         # are fetched in ONE device_get at the end — each intermediate
@@ -331,9 +368,11 @@ class LoopCloser:
 
         # THE one host sync of the whole candidate verification: every gate
         # scalar + the refined Sim3 + the poses the odometry gate needs.
-        (n_matches, ransac_ok, n_inliers, n_proj, S, poses, valid) = (
+        (n_matches, n_bound_c, n_bound_l, ransac_ok, n_inliers, n_proj,
+         S, poses, valid) = (
             jax.device_get((
-                mres.ok.sum(), rres.ok, ores.n_inliers, proj.n_matches,
+                mres.ok.sum(), ok_c.sum(), ok_l.sum(), rres.ok,
+                ores.n_inliers, proj.n_matches,
                 S_ref, m.kf_pose_cw, m.kf_valid,
             ))
         )
@@ -345,7 +384,7 @@ class LoopCloser:
 
         if int(n_matches) < 20:
             self.metrics.setdefault("bow_match_counts", []).append(
-                int(n_matches)
+                (int(n_matches), int(n_bound_c), int(n_bound_l))
             )
             return reject("bow")
         if not bool(ransac_ok):
@@ -536,6 +575,34 @@ class LoopCloser:
                 res_before, res_after, scene_scale=scene_scale
             )
 
+        def displacement_ok(mm):
+            """Post-correction GBA is a REFINEMENT: healthy segments move
+            keyframe centers by a fraction of one inter-keyframe baseline.
+            A map whose observation graph still encodes pre-loop drift can
+            keep the seam closed while DEFORMING the rest of the
+            trajectory back toward drift (measured: the seam guard alone
+            passed a joint-GBA segment that moved global ATE 0.16 -> 0.30
+            on the drifted-circle fixture); corrections of multiple
+            baselines mean the least-squares optimum disagrees with the
+            pose-graph-corrected trajectory, and the verified Sim3
+            outranks it."""
+            poses1, valid1 = jax.device_get((mm.kf_pose_cw, mm.kf_valid))
+            both = valid0 & valid1
+            ids_b = np.nonzero(both)[0]
+            if len(ids_b) == 0:
+                return True
+            c0 = np.stack(
+                [-poses0[k][:3, :3].T @ poses0[k][:3, 3] for k in ids_b]
+            )
+            c1 = np.stack(
+                [-poses1[k][:3, :3].T @ poses1[k][:3, 3] for k in ids_b]
+            )
+            disp = np.linalg.norm(c1 - c0, axis=1)
+            return (
+                float(np.median(disp)) <= 0.3 * scene_scale
+                and float(np.quantile(disp, 0.9)) <= 1.0 * scene_scale
+            )
+
         res0 = seam_residuals(m)
 
         if self.gba_mode == "joint":
@@ -566,7 +633,8 @@ class LoopCloser:
                     )
                 if m2 is m:  # map exceeds max_cams: joint not applicable
                     break
-                if not seam_ok(res0, seam_residuals(m2)):
+                if not (seam_ok(res0, seam_residuals(m2))
+                        and displacement_ok(m2)):
                     self.metrics["gba_rejected_segments"] = (
                         self.metrics.get("gba_rejected_segments", 0) + 1
                     )
@@ -578,7 +646,8 @@ class LoopCloser:
             if aborted():
                 return m
             m2 = global_bundle_adjustment(m, self.cam, self.inv_sigma2, rounds=2)
-            if not seam_ok(res0, seam_residuals(m2)):
+            if not (seam_ok(res0, seam_residuals(m2))
+                    and displacement_ok(m2)):
                 self.metrics["gba_rejected_segments"] = (
                     self.metrics.get("gba_rejected_segments", 0) + 1
                 )

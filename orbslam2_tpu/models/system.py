@@ -160,6 +160,19 @@ class SlamSystem:
                 only_tracking=jnp.asarray(value)
             )
 
+    def warm_mapping(self):
+        """Precompile BOTH window buckets of every mapping stage on the
+        current map pools (LocalMapper.warm).  Drivers call this once
+        after their warmup pass: keyframe ids drift between runs, and a
+        bucket boundary first crossed MID-RUN would otherwise pay a
+        10-60 s compile through the TPU tunnel."""
+        if self.local_mapper is not None:
+            if self.mapping_pipeline is not None:
+                self.mapping_pipeline.wait()
+            self.local_mapper.warm(self.tracker.map)
+        if self.loop_closer is not None:
+            self.loop_closer.warm(self.tracker.map)
+
     def reset(self):
         from .kf_database import KeyframeDatabase
 

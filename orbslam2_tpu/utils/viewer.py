@@ -34,6 +34,8 @@ def draw_map(
     gt_trajectory: Optional[np.ndarray] = None,
     show_covisibility: bool = True,
     min_covis_weight: int = 100,
+    follow: Optional[np.ndarray] = None,
+    follow_radius: float = 0.0,
 ) -> bool:
     """Top-down (x-z) map view: points, keyframes, covisibility, trajectory.
 
@@ -85,6 +87,14 @@ def draw_map(
         t = np.asarray(gt_trajectory)[:, :3, 3]
         ax.plot(t[:, 0], t[:, 2], c="tab:gray", lw=1.0, ls="--", label="ground truth")
 
+    if follow is not None and follow_radius > 0:
+        # Follow-camera view (Viewer.cc menuFollowCamera): clamp the view
+        # to a window centered on the current camera center.
+        C = np.asarray(follow, np.float64)
+        ax.set_xlim(C[0] - follow_radius, C[0] + follow_radius)
+        ax.set_ylim(C[2] - follow_radius, C[2] + follow_radius)
+        ax.scatter([C[0]], [C[2]], s=60, c="tab:red", marker="x",
+                   label="camera")
     ax.set_xlabel("x")
     ax.set_ylabel("z")
     ax.set_aspect("equal")
@@ -128,3 +138,74 @@ def draw_frame(
     fig.savefig(path, dpi=110)
     plt.close(fig)
     return True
+
+
+class LiveViewer:
+    """Periodic snapshot renderer — the Viewer::Run loop's role
+    (src/Viewer.cc:≈60-140) on a headless TPU host: instead of a Pangolin
+    window at 1/fps, write PNG snapshots every N keyframes and on every
+    loop closure, leaving a browsable sequence of the run.
+
+    Usage (drivers)::
+
+        lv = LiveViewer(out_dir, every_kf=5, follow_radius=4.0)
+        for each frame:  lv.update(system)      # cheap; draws only on event
+        lv.finish(system, gt_trajectory=...)    # final full map view
+    """
+
+    def __init__(self, out_dir: str, every_kf: int = 5,
+                 follow_radius: float = 0.0):
+        import os
+
+        self.out = out_dir
+        self.every_kf = max(1, int(every_kf))
+        self.follow_radius = float(follow_radius)
+        self.last_kf_drawn = 0
+        self.last_loops = 0
+        self.n_snaps = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _snap(self, system, tag: str) -> None:
+        import os
+
+        m = system.map
+        follow = None
+        if self.follow_radius > 0:
+            T = np.asarray(system.tracker.last_T)
+            follow = -T[:3, :3].T @ T[:3, 3]
+        draw_map(
+            m,
+            os.path.join(self.out, f"map_{self.n_snaps:04d}_{tag}.png"),
+            trajectory=system.poses_wc(),
+            follow=follow,
+            follow_radius=self.follow_radius,
+        )
+        self.n_snaps += 1
+
+    def update(self, system) -> None:
+        """Call once per tracked frame; renders only on keyframe-interval
+        or loop-closure events so the per-frame cost is a couple of int
+        comparisons."""
+        if not _HAS_MPL:
+            return
+        n_kf = int(np.asarray(system.map.n_kf))
+        loops = (
+            len(system.loop_closer.loop_edges)
+            if system.loop_closer is not None else 0
+        )
+        if loops > self.last_loops:
+            self.last_loops = loops
+            self._snap(system, "loop")
+        elif n_kf - self.last_kf_drawn >= self.every_kf:
+            self.last_kf_drawn = n_kf
+            self._snap(system, "kf")
+
+    def finish(self, system, gt_trajectory=None) -> None:
+        import os
+
+        if not _HAS_MPL:
+            return
+        draw_map(
+            system.map, os.path.join(self.out, "map_final.png"),
+            trajectory=system.poses_wc(), gt_trajectory=gt_trajectory,
+        )

