@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--async-mapping", action="store_true",
                     help="mapping/loop closing in a worker thread (the "
                          "reference's LocalMapping/LoopClosing threads)")
+    ap.add_argument("--viewer-every", type=int, default=0,
+                    help="live viewer: map snapshot every N keyframes + on "
+                         "each loop closure (Viewer::Run loop role)")
+    ap.add_argument("--follow-radius", type=float, default=0.0,
+                    help="live viewer follow-camera window half-size")
     ap.add_argument("--gt", default=None,
                     help="ground-truth trajectory (TUM groundtruth.txt or "
                          "KITTI poses file): prints ATE/RPE at exit")
@@ -114,6 +119,15 @@ def main():
                 for side in ("LEFT", "RIGHT")
             )
 
+    live_viewer = None
+    if args.viewer_every > 0:
+        from orbslam2_tpu.utils.viewer import LiveViewer
+
+        live_viewer = LiveViewer(
+            args.out, every_kf=args.viewer_every,
+            follow_radius=args.follow_radius,
+        )
+
     times = []
     n = 0
     for item in frames:
@@ -130,6 +144,8 @@ def main():
         else:
             system.track_monocular(a, ts)
         times.append(time.perf_counter() - t0)
+        if live_viewer is not None:
+            live_viewer.update(system)
         n += 1
         if n % 50 == 0:
             print(f"frame {n}: state {system.tracking_state()} "
@@ -143,6 +159,9 @@ def main():
 
     system.shutdown()  # drain in-flight frames + async mapping jobs
     os.makedirs(args.out, exist_ok=True)
+    if live_viewer is not None:
+        live_viewer.finish(system)
+        print(f"live viewer: {live_viewer.n_snaps} snapshots in {args.out}")
     traj = os.path.join(args.out, "CameraTrajectory.txt")
     if args.dataset == "kitti":
         system.save_trajectory_kitti(traj)

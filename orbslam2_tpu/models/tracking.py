@@ -1191,6 +1191,14 @@ class Tracker:
                     # with the next dispatch (flush() covers sequence end);
                     # self.trajectory[-1] then points at frame j_r's entry
                     # for the reloc-pose update below.
+                    # Known bias, accepted as noise: the discarded chunk's
+                    # device-side pt_visible/pt_found updates from the
+                    # garbage-tracked frames are NOT undone, so requeued
+                    # frames count twice toward the found-ratio culling
+                    # statistics.  Lost-context frames track few points, a
+                    # double count of near-zero contributions; snapshotting
+                    # the stats columns per chunk to undo them would cost
+                    # more than the bias is worth.
                     del self.trajectory[-n_requeue:]
                     self.frame_id -= n_requeue
                     self.metrics["frames"] -= n_requeue

@@ -505,12 +505,15 @@ def make_loop_sequence(
             right[:3, 3] = right[:3, 3] + right[:3, :3] @ np.array(
                 [stereo_baseline, 0, 0], np.float32
             )
-            im_l = render_room_frame(world, poses[f], cam, seed=seed + 300 + f)
-            im_r = render_room_frame(world, right, cam, seed=seed + 7000 + f)
+            im_l = render_room_frame(world, poses[f], cam,
+                                     seed=seed + 300 + f, **kwargs)
+            im_r = render_room_frame(world, right, cam,
+                                     seed=seed + 7000 + f, **kwargs)
             frames.append(np.stack([im_l, im_r]))
             continue
         out = render_room_frame(
-            world, poses[f], cam, seed=seed + 300 + f, with_depth=with_depth
+            world, poses[f], cam, seed=seed + 300 + f,
+            with_depth=with_depth, **kwargs
         )
         if with_depth:
             frames.append(out[0])
