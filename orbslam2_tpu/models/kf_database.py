@@ -185,8 +185,9 @@ class KeyframeDatabase:
     ) -> Tuple[np.ndarray, np.ndarray, dict, object]:
         """Steps 1+3+4 of the reference logic, shared by loop + reloc.
 
-        Returns (ids, acc_scores, covis_groups) where covis_groups maps a
-        candidate id to the set of keyframe ids covisible with it — read
+        Returns (ids, acc_scores, covis_groups, extras_host) where
+        covis_groups maps a candidate id to the set of keyframe ids
+        covisible with it — read
         back in the SAME device_get as the scores so consistency tracking
         costs no extra sync.  ``extras``: optional pytree of device arrays
         piggybacked on that device_get; the host copies land in

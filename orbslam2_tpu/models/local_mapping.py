@@ -293,6 +293,7 @@ def _fuse_match(
     cam: CameraModel,
     scale_factors: jnp.ndarray,
     inv_sigma2_lut: jnp.ndarray,
+    enabled=None,
 ):
     """Match stage of one Fuse direction (ORBmatcher::Fuse projection +
     windowed TH_LOW + chi2 gate): project kf_a's bound points into kf_b.
@@ -302,6 +303,12 @@ def _fuse_match(
 
     pts_a = m.kf_point[kf_a]
     src_ok = (pts_a >= 0) & m.kf_kp_valid[kf_a] & m.kf_valid[kf_a] & m.kf_valid[kf_b]
+    if enabled is not None:
+        # Zero-covisibility second-order slots are disabled outright: a
+        # valid-but-unrelated keyframe must never become a fuse target
+        # (coincidental projection+Hamming agreement on repetitive texture
+        # would wrongly merge unrelated points).
+        src_ok = src_ok & enabled
     pid = jnp.where(pts_a >= 0, pts_a, 0)
     src_ok = src_ok & m.pt_valid[pid]
 
@@ -416,6 +423,7 @@ def fuse_neighborhood(
     cam: CameraModel,
     scale_factors: jnp.ndarray,
     inv_sigma2_lut: jnp.ndarray,
+    pair_valid: jnp.ndarray = None,
 ) -> ms.MapState:
     """SearchInNeighbors over the whole neighborhood in one program: the D
     directional match stages (the (N, N) projection matchers — the
@@ -428,9 +436,13 @@ def fuse_neighborhood(
     the sequential loop; the only residual difference is descriptor/
     position drift of merged points between match and apply — noise-level
     (the descriptors are near-duplicates by construction of Fuse)."""
+    if pair_valid is None:
+        pair_valid = jnp.ones(pairs_a.shape[0], bool)
     pid_all, idx_all, ok_all = jax.vmap(
-        lambda a, b: _fuse_match(m, a, b, cam, scale_factors, inv_sigma2_lut)
-    )(pairs_a, pairs_b)
+        lambda a, b, en: _fuse_match(
+            m, a, b, cam, scale_factors, inv_sigma2_lut, enabled=en
+        )
+    )(pairs_a, pairs_b, pair_valid)
     cur = jnp.arange(m.pt_capacity, dtype=jnp.int32)
     for d in range(pairs_a.shape[0]):
         pid_d = cur[jnp.clip(pid_all[d], 0, m.pt_capacity - 1)]
@@ -458,13 +470,23 @@ class LocalMapper:
         # bucketed to the map's current size (_bucket) so a small map never
         # pays the padded worst case, while large maps reach the
         # reference's windows.
-        self.n_fuse_neighbors = (
+        # Every cap is clamped to the keyframe pool: the top_k gathers
+        # inside _gather_problem/best_covisible fail outright for
+        # k > kf_capacity (small-capacity test configs hit this).
+        K = tpu.max_keyframes
+        self.n_fuse_neighbors = min(
             n_fuse_neighbors if n_fuse_neighbors is not None
-            else tpu.fuse_first_neighbors
+            else tpu.fuse_first_neighbors,
+            max(1, K - 1),
         )
-        self.n_fuse_second = tpu.fuse_second_neighbors
-        self.ba_n_local = tpu.ba_local_window
-        self.ba_n_fixed = tpu.ba_fixed_window
+        self.n_fuse_second = min(
+            tpu.fuse_second_neighbors,
+            max(0, K - 1 - self.n_fuse_neighbors),
+        )
+        self.ba_n_local = min(tpu.ba_local_window, max(2, K // 2))
+        self.ba_n_fixed = min(
+            tpu.ba_fixed_window, max(0, K - self.ba_n_local)
+        )
         self.cam = settings.camera_model()
         orb = settings.orb
         # numpy (NOT jnp): closure-captured by jitted programs; device-array
@@ -486,9 +508,10 @@ class LocalMapper:
         # Mono needs a wider triangulation neighborhood for parallax: the
         # reference uses 20 covisible neighbors mono vs 10 stereo/RGB-D
         # (LocalMapping.cc:≈190).
-        self.n_tri_neighbors = (
+        self.n_tri_neighbors = min(
             tpu.tri_neighbors_mono if sensor == "mono"
-            else tpu.tri_neighbors_stereo
+            else tpu.tri_neighbors_stereo,
+            max(1, K - 1),
         )
         # Scale-aware KF culling params: the stereo/RGB-D close-point gate
         # (LocalMapping.cc:≈520) only applies when a baseline exists.
@@ -610,11 +633,17 @@ class LocalMapper:
                 v2, second = jax.lax.top_k(
                     jnp.where(in_ring, -1.0, votes2), nn2
                 )
-                # Zero-weight second-order rows fuse as no-ops (the pair
-                # matcher masks on weight via kf_valid + projection gates).
                 fuse_targets = jnp.concatenate([ring, second])
+                # Zero-covisibility slots (ring padding or unrelated
+                # second-order winners) are DISABLED, not merely hoped to
+                # no-op: a valid-but-unrelated keyframe as fuse target can
+                # wrongly merge points on repetitive texture.
+                target_ok = jnp.concatenate(
+                    [weights[:nn] > 0, v2 > 0]
+                )
             else:
                 fuse_targets = ring
+                target_ok = weights[:nn] > 0
             fuse_ids = fuse_targets
             nbs = [fuse_targets[i] for i in range(fuse_targets.shape[0])]
             pairs_a = jnp.concatenate(
@@ -623,9 +652,10 @@ class LocalMapper:
             pairs_b = jnp.concatenate(
                 [jnp.stack([nb, kf]) for nb in nbs]
             )
+            pair_valid = jnp.repeat(target_ok, 2)
             m = fuse_neighborhood(
                 m, pairs_a, pairs_b, self.cam, self.scale_factors,
-                self.inv_sigma2,
+                self.inv_sigma2, pair_valid=pair_valid,
             )
         m = ms.update_point_stats(m, self.scale_factors)
         if self.enable_ba and not aborted():

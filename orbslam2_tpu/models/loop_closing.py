@@ -265,11 +265,18 @@ class LoopCloser:
         # FeatureVector walk) — fewer aliased matches on repeated texture.
         nodes_c = self.db.nodes_for(kf_c)
         nodes_l = self.db.nodes_for(kf_l)
-        pair_mask = None
         if nodes_c is not None and nodes_l is not None:
             pair_mask = (
                 (nodes_c[:, None] == nodes_l[None, :])
                 & (nodes_c[:, None] >= 0)
+            )
+        else:
+            # All-true mask, NOT None: keeps this ONE compiled program —
+            # warm() runs before any keyframe enters the database, and a
+            # None here would compile a second variant whose node-gated
+            # twin then pays a mid-run compile on the first real candidate.
+            pair_mask = jnp.ones(
+                (desc_c.shape[0], desc_l.shape[0]), bool
             )
         # Reference-exact SearchByBoW(KF,KF) shape (ORBmatcher.cc:≈550):
         # one-directional nearest neighbor with the 0.75 ratio gate plus
@@ -286,7 +293,28 @@ class LoopCloser:
         rot_ok = rotation_consistency(
             m.kf_angle[kf_c], m.kf_angle[kf_l], mres.idx, mres.ok
         )
-        mres = mres._replace(ok=mres.ok & rot_ok)
+        ok = mres.ok & rot_ok
+        # Per-target dedup (the reference's vbMatched2 bookkeeping,
+        # ORBmatcher.cc:≈570): each loop-KF feature may anchor at most ONE
+        # match — keep the lowest-distance claimant.  Without this,
+        # repetitive texture lets many current features NN-match the same
+        # distinctive loop feature, inflating the >=20 gate and feeding
+        # RANSAC duplicated pairs.
+        N_l = desc_l.shape[0]
+        tgt = jnp.where(ok, mres.idx, N_l)
+        claim = (
+            jnp.full((N_l + 1,), 1 << 30, jnp.int32)
+            .at[tgt].min(jnp.where(ok, mres.dist, 1 << 30))
+        )
+        qrank = jnp.arange(ok.shape[0], dtype=jnp.int32)
+        # Tie-break equal distances by query index (first wins).
+        winner_q = (
+            jnp.full((N_l + 1,), 1 << 30, jnp.int32)
+            .at[tgt].min(jnp.where(ok & (mres.dist == claim[tgt]),
+                                   qrank, 1 << 30))
+        )
+        ok = ok & (winner_q[tgt] == qrank)
+        mres = mres._replace(ok=ok)
         # No early-exit syncs: every stage below is enqueued unconditionally
         # (masked inputs keep degenerate cases finite) and ALL gate scalars
         # are fetched in ONE device_get at the end — each intermediate

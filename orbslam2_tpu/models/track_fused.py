@@ -435,9 +435,15 @@ def make_fused_chunk_tracker(
         # donated into the next chunk dispatch while the host may still be
         # waiting to read these under lag-1 resolution; if XLA dedups the
         # duplicated outputs to one buffer, the read would observe a
-        # donated (deleted/reused) buffer on real TPU backends.
+        # donated (deleted/reused) buffer on real TPU backends.  An
+        # optimization_barrier is required — identity arithmetic like
+        # `x | False` / `x + 0` is folded by the algebraic simplifier and
+        # would re-alias.
+        kf_valid_copy, n_kf_copy = jax.lax.optimization_barrier(
+            (m.kf_valid, m.n_kf)
+        )
         return ChunkOut(
-            m, ctx, *ys, kf_valid=m.kf_valid | False, n_kf=m.n_kf + 0
+            m, ctx, *ys, kf_valid=kf_valid_copy, n_kf=n_kf_copy
         )
 
     donate = (n_inputs,) if donate_map else ()

@@ -749,6 +749,11 @@ class Tracker:
         ok = bool(flags[FLAG_OK])
         n_in = int(flags[FLAG_N_INLIERS])
         need_kf = bool(flags[FLAG_NEED_KF])
+        # Post-relocalization suppression (Tracking.cc:≈990): the chunked
+        # path threads min_kf_fid into the device policy; the single-frame
+        # fused and pipelined paths enforce it here.
+        if self.frame_id < self._no_kf_before:
+            need_kf = False
         path = int(flags[FLAG_PATH])
 
         self.metrics["frames"] += 1
@@ -860,6 +865,11 @@ class Tracker:
         ok = bool(flags[FLAG_OK])
         n_in = int(flags[FLAG_N_INLIERS])
         need_kf = bool(flags[FLAG_NEED_KF])
+        # Post-relocalization suppression (Tracking.cc:≈990): the chunked
+        # path threads min_kf_fid into the device policy; the single-frame
+        # fused and pipelined paths enforce it here.
+        if self.frame_id < self._no_kf_before:
+            need_kf = False
         path = int(flags[FLAG_PATH])
         self.metrics["frames"] += 1
         self.metrics["track_path"] = {0: "none", 1: "motion", 2: "refkf", 3: "vo"}[path]

@@ -188,7 +188,13 @@ class LiveViewer:
         comparisons."""
         if not _HAS_MPL:
             return
-        n_kf = int(np.asarray(system.map.n_kf))
+        # NEVER force a device sync per frame (~30 ms each through the
+        # TPU tunnel): use the host copy the chunked tracker already
+        # maintains from its per-chunk readback; fall back to counting
+        # keyframe events from the tracker metrics.
+        n_kf = getattr(system.tracker, "_host_n_kf", None)
+        if n_kf is None:
+            n_kf = system.tracker.metrics.get("keyframes_created", 0)
         loops = (
             len(system.loop_closer.loop_edges)
             if system.loop_closer is not None else 0
