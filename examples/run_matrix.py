@@ -60,7 +60,11 @@ def run_cell(name, sensor, width, height, features, n_frames, cache_dir):
         # TUM1.yaml operating point.
         cam_kw = dict(fx=517.306, fy=516.469, cx=318.643, cy=255.314,
                       bf=40.0, th_depth=40.0)
-        radius, room, n_pts = 4.0, 8.0, 6000
+        # Smaller circle in a denser room: sprite coverage per view must
+        # not collapse at corner-facing headings (wall-shell landmarks
+        # thin out diagonally; measured mono tracking loss at ~frame 210
+        # of the radius-4 / room-8 / 6k-point variant).
+        radius, room, n_pts = 2.5, 5.0, 10000
     settings = Settings(
         camera=CameraSettings(width=width, height=height, **cam_kw),
         orb=OrbSettings(n_features=features, n_levels=8),

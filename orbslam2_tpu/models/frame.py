@@ -65,9 +65,15 @@ def build_stereo_frame(
     scale_factors: jnp.ndarray,
 ) -> Frame:
     pair = jnp.stack([jnp.asarray(image_left), jnp.asarray(image_right)])
-    feats2 = jax.vmap(extractor)(pair)  # the reference's 2 threads = batch dim
-    left = jax.tree.map(lambda x: x[0], feats2)
-    right = jax.tree.map(lambda x: x[1], feats2)
+    # Two independent extractions, NOT jax.vmap over the pair: the
+    # batched extraction program reproducibly crashes the TPU runtime
+    # worker at 640x480/8-level shapes ("TPU worker process crashed:
+    # kernel fault", with the Pallas detector disabled too — an XLA
+    # miscompilation of the vmapped pyramid).  XLA still overlaps the two
+    # subgraphs; the reference's 2 extraction threads (Frame.cc:≈110) are
+    # parallelised by the scheduler either way.
+    left = extractor(pair[0])
+    right = extractor(pair[1])
     ur, depth = stereo_ops.compute_stereo_matches(
         left, right, pair[0], pair[1], scale_factors, cam.bf
     )

@@ -293,28 +293,22 @@ class LoopCloser:
         rot_ok = rotation_consistency(
             m.kf_angle[kf_c], m.kf_angle[kf_l], mres.idx, mres.ok
         )
-        ok = mres.ok & rot_ok
-        # Per-target dedup (the reference's vbMatched2 bookkeeping,
-        # ORBmatcher.cc:≈570): each loop-KF feature may anchor at most ONE
-        # match — keep the lowest-distance claimant.  Without this,
-        # repetitive texture lets many current features NN-match the same
-        # distinctive loop feature, inflating the >=20 gate and feeding
-        # RANSAC duplicated pairs.
+        mres = mres._replace(ok=mres.ok & rot_ok)
+        # Distinctness floor alongside the reference's >=20 match gate:
+        # one-directional NN matching lets several current features claim
+        # the SAME loop feature on repetitive texture, and a gate counting
+        # only raw matches could pass with a handful of distinct
+        # correspondences (a degenerate Sim3 seed).  Full one-to-one
+        # assignment (vbMatched2-style) over-starves on ambiguous
+        # descriptors — true revisits measured 19 distinct vs the 20 gate
+        # — so the gate instead requires n_matches >= 20 AND at least 10
+        # DISTINCT targets; the RANSAC/optimize/projection(>=40)/odometry
+        # chain behind it remains the real false-positive filter.
         N_l = desc_l.shape[0]
-        tgt = jnp.where(ok, mres.idx, N_l)
-        claim = (
-            jnp.full((N_l + 1,), 1 << 30, jnp.int32)
-            .at[tgt].min(jnp.where(ok, mres.dist, 1 << 30))
-        )
-        qrank = jnp.arange(ok.shape[0], dtype=jnp.int32)
-        # Tie-break equal distances by query index (first wins).
-        winner_q = (
-            jnp.full((N_l + 1,), 1 << 30, jnp.int32)
-            .at[tgt].min(jnp.where(ok & (mres.dist == claim[tgt]),
-                                   qrank, 1 << 30))
-        )
-        ok = ok & (winner_q[tgt] == qrank)
-        mres = mres._replace(ok=ok)
+        distinct = (
+            jnp.zeros((N_l + 1,), jnp.int32)
+            .at[jnp.where(mres.ok, mres.idx, N_l)].max(1, mode="drop")
+        )[:N_l].sum()
         # No early-exit syncs: every stage below is enqueued unconditionally
         # (masked inputs keep degenerate cases finite) and ALL gate scalars
         # are fetched in ONE device_get at the end — each intermediate
@@ -396,10 +390,10 @@ class LoopCloser:
 
         # THE one host sync of the whole candidate verification: every gate
         # scalar + the refined Sim3 + the poses the odometry gate needs.
-        (n_matches, n_bound_c, n_bound_l, ransac_ok, n_inliers, n_proj,
-         S, poses, valid) = (
+        (n_matches, n_distinct, n_bound_c, n_bound_l, ransac_ok,
+         n_inliers, n_proj, S, poses, valid) = (
             jax.device_get((
-                mres.ok.sum(), ok_c.sum(), ok_l.sum(), rres.ok,
+                mres.ok.sum(), distinct, ok_c.sum(), ok_l.sum(), rres.ok,
                 ores.n_inliers, proj.n_matches,
                 S_ref, m.kf_pose_cw, m.kf_valid,
             ))
@@ -410,9 +404,10 @@ class LoopCloser:
             )
             return None
 
-        if int(n_matches) < 20:
+        if int(n_matches) < 20 or int(n_distinct) < 10:
             self.metrics.setdefault("bow_match_counts", []).append(
-                (int(n_matches), int(n_bound_c), int(n_bound_l))
+                (int(n_matches), int(n_distinct), int(n_bound_c),
+                 int(n_bound_l))
             )
             return reject("bow")
         if not bool(ransac_ok):

@@ -152,8 +152,15 @@ def _descend(
     levels: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched tree descent: (N, 8) descriptors -> (N,) word ids + (N,)
-    level-1 ancestor node id (the 'FeatureVector node' used by SearchByBoW
-    pruning — DBoW2 levelsup semantics)."""
+    FeatureVector node ids at DBoW2's levelsup=4 depth — the ancestor 4
+    levels ABOVE the leaves (TemplatedVocabulary::transform levelsup
+    semantics: depth = L - 4; ORBvoc L=6 -> depth-2 nodes, 100 of them) —
+    floored at depth 1.  DBoW2 itself would use the ROOT for L <= 4
+    vocabularies (no gating); we keep the level-1 ancestor there because
+    the one-directional ratio test needs SOME candidate restriction on
+    shallow vocabularies: without it, near-duplicate descriptors make
+    best/second-best distances collide and the 0.75 ratio kills true
+    matches (measured: loop BoW yield dropped ~25% ungated)."""
 
     def dist_to(nodes, d):
         # nodes: (N, k) node ids; d: (N, 8)
@@ -162,16 +169,17 @@ def _descend(
         dist = jnp.sum(jax.lax.population_count(x), axis=-1)
         return jnp.where(nodes >= 0, dist, 1 << 30)
 
+    anc_depth = max(1, levels - 4)
     cur = jnp.zeros(desc.shape[0], jnp.int32)  # root
-    ancestor1 = cur
+    ancestor = cur
     for level in range(levels):
         ch = children[cur]  # (N, k)
         d = dist_to(ch, desc)
         best = jnp.argmin(d, axis=-1)
         cur = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
-        if level == 0:
-            ancestor1 = cur
-    return word_id[cur], ancestor1
+        if level == anc_depth - 1:
+            ancestor = cur
+    return word_id[cur], ancestor
 
 
 class BowTransformer:

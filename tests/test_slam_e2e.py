@@ -218,6 +218,17 @@ class TestLoopClosing:
         from orbslam2_tpu.ops.extractor import OrbExtractor
 
         s = small_settings(bf=0.0)
+        # Production-class pool capacities (the TpuSettings default is
+        # 512 KFs / 32k points): small_settings' 96/8k test pools put the
+        # point pool under pressure-culling by mid-sequence, which erodes
+        # bound-feature counts on the revisit pair and starves the
+        # reference's >=20 SearchByBoW gate right at the boundary
+        # (measured max 19 matches at 8k points vs a clean fire at 16k).
+        s = dataclasses.replace(
+            s, tpu=dataclasses.replace(
+                s.tpu, max_keyframes=160, max_points=16384
+            )
+        )
         cam = s.camera_model()
         n_frames = 140
         seq = synthetic.make_loop_sequence(
