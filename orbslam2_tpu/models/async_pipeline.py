@@ -65,6 +65,98 @@ def merge_tracking_stats(
     )
 
 
+@jax.jit
+def adopt_mapped_state(
+    m_mapped: ms.MapState,
+    snapshot: ms.MapState,
+    m_tracked: ms.MapState,
+) -> ms.MapState:
+    """Full adoption merge: the worker's mapped result + everything the
+    TRACKER changed since the snapshot.
+
+    The reference's LocalMapping works on the live shared map under
+    mutexes; our worker runs on a snapshot, so keyframes the tracker
+    inserted meanwhile (the mlNewKeyFrames queue discipline: insertion
+    never waits for the mapper, Tracking.cc:≈1050) must be folded back in:
+
+      * tracking statistics deltas (merge_tracking_stats),
+      * keyframe rows created after the snapshot (rows are allocated by
+        the monotonic n_kf counter and only the tracker inserts, so the
+        rows [snapshot.n_kf, tracked.n_kf) are tracker-owned),
+      * map points the tracker spawned after the snapshot (close-depth
+        spawns at keyframe creation).  The tracker allocates point slots
+        from the HIGH end of the free list and the worker's triangulation
+        from the LOW end (tracking.add_points ``reverse``), so their
+        slots are disjoint while the pool has headroom; a collision
+        (pool-pressure only) keeps the WORKER's point and the keyframe
+        binding scrub below drops the tracker's reference,
+      * binding hygiene on the merged rows: a binding survives only if
+        the final pool slot still holds the point it meant (same
+        pt_first_kf) — points the worker culled or Replace-merged
+        disappear from the new keyframes exactly as EraseObservation
+        would.
+    """
+    m = merge_tracking_stats(m_mapped, snapshot, m_tracked)
+    K = m.kf_capacity
+    rows = jnp.arange(K)
+    new_kf = (rows >= snapshot.n_kf) & (rows < m_tracked.n_kf)
+
+    def take_kf(a_mapped, a_tracked):
+        mask = new_kf.reshape((K,) + (1,) * (a_mapped.ndim - 1))
+        return jnp.where(mask, a_tracked, a_mapped)
+
+    # Tracker-spawned points: new since snapshot, and not overwritten by a
+    # worker-created point in the same slot (slot collision).
+    trk_new = m_tracked.pt_valid & ~snapshot.pt_valid
+    wrk_new = m_mapped.pt_valid & ~snapshot.pt_valid
+    take_pt = trk_new & ~wrk_new
+    P = m.pt_capacity
+
+    def take_point(a_merged, a_tracked):
+        mask = take_pt.reshape((P,) + (1,) * (a_merged.ndim - 1))
+        return jnp.where(mask, a_tracked, a_merged)
+
+    m = m._replace(
+        kf_pose_cw=take_kf(m.kf_pose_cw, m_tracked.kf_pose_cw),
+        kf_xy=take_kf(m.kf_xy, m_tracked.kf_xy),
+        kf_level=take_kf(m.kf_level, m_tracked.kf_level),
+        kf_angle=take_kf(m.kf_angle, m_tracked.kf_angle),
+        kf_desc=take_kf(m.kf_desc, m_tracked.kf_desc),
+        kf_ur=take_kf(m.kf_ur, m_tracked.kf_ur),
+        kf_kp_valid=take_kf(m.kf_kp_valid, m_tracked.kf_kp_valid),
+        kf_point=take_kf(m.kf_point, m_tracked.kf_point),
+        kf_valid=take_kf(m.kf_valid, m_tracked.kf_valid),
+        kf_frame_id=take_kf(m.kf_frame_id, m_tracked.kf_frame_id),
+        kf_parent=take_kf(m.kf_parent, m_tracked.kf_parent),
+        pt_pos=take_point(m.pt_pos, m_tracked.pt_pos),
+        pt_normal=take_point(m.pt_normal, m_tracked.pt_normal),
+        pt_desc=take_point(m.pt_desc, m_tracked.pt_desc),
+        pt_min_dist=take_point(m.pt_min_dist, m_tracked.pt_min_dist),
+        pt_max_dist=take_point(m.pt_max_dist, m_tracked.pt_max_dist),
+        pt_ref_kf=take_point(m.pt_ref_kf, m_tracked.pt_ref_kf),
+        pt_first_kf=take_point(m.pt_first_kf, m_tracked.pt_first_kf),
+        pt_valid=take_point(m.pt_valid, m_tracked.pt_valid),
+        pt_visible=take_point(m.pt_visible, m_tracked.pt_visible),
+        pt_found=take_point(m.pt_found, m_tracked.pt_found),
+        n_kf=jnp.maximum(m.n_kf, m_tracked.n_kf),
+        n_pt=jnp.maximum(m.n_pt, m_tracked.n_pt),
+    )
+    # Binding scrub on the merged (tracker-owned) keyframe rows: keep a
+    # binding only if the final pool still holds the point it meant.
+    pid = jnp.maximum(m.kf_point, 0)
+    meant = m_tracked.pt_first_kf[pid]
+    still = (
+        (m.kf_point >= 0)
+        & m.pt_valid[pid]
+        & (m.pt_first_kf[pid] == meant)
+    )
+    kf_point = jnp.where(
+        new_kf[:, None], jnp.where(still, m.kf_point, ms.NO_POINT),
+        m.kf_point,
+    )
+    return m._replace(kf_point=kf_point)
+
+
 class AsyncMappingPipeline:
     """Worker-thread driver for the per-keyframe mapping + loop sequence.
 

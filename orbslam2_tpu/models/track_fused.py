@@ -394,7 +394,10 @@ def make_fused_chunk_tracker(
                     # Close-depth point spawning (Tracking.cc:≈1060).
                     pos_w, okd = unproject_frame_depth(frame, out.T_cw, cam)
                     okd = okd & (bindings < 0) & (frame.depth < th_depth)
-                    m, pids = add_points(m, pos_w, frame.desc, okd, m.n_kf)
+                    # reverse: tracker-side allocation (see add_points —
+                    # keeps concurrent worker triangulation conflict-free)
+                    m, pids = add_points(m, pos_w, frame.desc, okd, m.n_kf,
+                                         reverse=True)
                     bindings = jnp.where(okd & (pids >= 0), pids, bindings)
                 m, kid = insert_keyframe(
                     m, frame, out.T_cw, fid, bindings, ctx.ref_kf

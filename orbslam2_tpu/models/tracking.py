@@ -437,17 +437,24 @@ def insert_keyframe(
     return m, k
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("reverse",))
 def add_points(
     m: ms.MapState,
     pos: jnp.ndarray,        # (M, 3) world positions
     desc: jnp.ndarray,       # (M, 8)
     good: jnp.ndarray,       # (M,) which slots are real new points
     ref_kf: jnp.ndarray,     # scalar keyframe id
+    reverse: bool = False,
 ) -> Tuple[ms.MapState, jnp.ndarray]:
     """Insert up to M points into FREE pool slots (slots of culled points
     are reused — the pool is a free-list, not an append-only log; without
     reuse a long sequence exhausts the pool and the map stops growing).
+
+    ``reverse``: allocate from the HIGH end of the free list.  The
+    TRACKER allocates reverse and the async MAPPING WORKER forward so
+    their concurrent allocations never collide while the pool has free
+    slots — the invariant that makes adoption's keyframe-queue merge
+    (async_pipeline.adopt_mapped_state) conflict-free.
 
     Returns (map, ids (M,) with -1 where not added).
     """
@@ -458,8 +465,11 @@ def add_points(
     desc_s = desc[order]
     good_s = good[order]
     n_new = jnp.sum(good).astype(jnp.int32)
-    # Lowest-index free slots (score: free first, then low index).
-    free_score = jnp.where(m.pt_valid, -1.0, 1.0) - jnp.arange(P) * (1.0 / P)
+    # Free slots first; lowest index first (or highest, reversed).
+    idx_bias = jnp.arange(P) * (1.0 / P)
+    free_score = jnp.where(m.pt_valid, -1.0, 1.0) + (
+        idx_bias if reverse else -idx_bias
+    )
     _, free_slots = jax.lax.top_k(free_score, M)
     slot = free_slots.astype(jnp.int32)
     slot_free = ~m.pt_valid[slot]
@@ -563,6 +573,15 @@ class Tracker:
         self.chunk = int(chunk)
         self._chunk_buf = []   # [(inputs tuple), ...] awaiting dispatch
         self._pending_chunk = None  # lag-1 in-flight chunk (fid0, buf, out)
+        self._kf_deferred = False   # a chunk signaled need_kf while blocked
+        # Pending-keyframe FIFO (the reference's mlNewKeyFrames queue,
+        # LocalMapping.h:≈110): keyframes INSERT immediately and queue
+        # here for the async worker; insertion defers only when the queue
+        # is full (the reference's queue<3 gate, Tracking.cc:≈1050).
+        # Correctness rests on adopt_mapped_state folding post-snapshot
+        # insertions back in (async_pipeline).
+        self._kf_queue: list = []
+        self.kf_queue_depth = 3
         self._chunk_step = None
         # Pipelined driver mode: per-frame decision flags are read back
         # with a ONE-FRAME lag so the host never blocks on the device —
@@ -853,7 +872,12 @@ class Tracker:
         for p in pending or []:
             self._resolve_pending(p, getattr(self, "_fused_sensor", "mono"))
         if self.mapping_pipeline is not None:
+            # Drain the in-flight job AND the queued keyframes (each adopt
+            # dispatches the next queued job).
             self._adopt(self.mapping_pipeline.wait())
+            while self._kf_queue or not self.mapping_pipeline.accept_keyframes():
+                self._submit_next_kf()
+                self._adopt(self.mapping_pipeline.wait())
 
     def _resolve_pending(self, pending, sensor: str):
         from .track_fused import (
@@ -1023,15 +1047,24 @@ class Tracker:
         # (SetAcceptKeyFrames(false)) unless the gap is urgent, in which
         # case block-adopt first.
         allow_kf = not self.localization_only
-        if mp is not None and not mp.accept_keyframes():
-            if fid0 - self.last_kf_frame_id >= self.kf_urgent_gap:
+        if mp is not None and len(self._kf_queue) >= self.kf_queue_depth:
+            if self._kf_deferred or (
+                fid0 - self.last_kf_frame_id >= self.kf_urgent_gap
+            ):
                 # BOUNDED urgent adopt (InterruptBA class): the abort flag
                 # is raised and the job given a short grace; a job that
                 # still doesn't finish only defers keyframes further — it
                 # never stalls the frame cadence (the reference's tracking
-                # thread never blocks on LocalMapping).
-                res = mp.wait(timeout=self.kf_urgent_wait_s)
-                if res is not None:
+                # thread never blocks on LocalMapping).  Triggered by the
+                # max-gap rule AND by a deferred NEED from the previous
+                # chunk (_kf_deferred): per-chunk deferral granularity
+                # otherwise caps the keyframe cadence at one per two
+                # chunks (16 frames) when the policy asks for one every
+                # 2-3 frames on exploration — measured mono tracking loss
+                # from exactly that map starvation.
+                self._kf_deferred = False  # re-armed by the next chunk's
+                res = mp.wait(timeout=self.kf_urgent_wait_s)  # flags if the
+                if res is not None:                           # need persists
                     self._adopt(res)
                 else:
                     allow_kf = False
@@ -1102,12 +1135,18 @@ class Tracker:
                 self.state = TrackState.LOST
                 self.metrics["frames_lost"] += 1
             self.trajectory.append((fid, T_cr[j], int(log_ref[j]), not ok))
+            if kid < 0 and bool(flags[j, FLAG_NEED_KF]) and ok:
+                # The device policy wanted a keyframe but insertion was
+                # gated (mapping job in flight): give the next dispatch's
+                # urgent-adopt a reason to drain the job promptly.
+                self._kf_deferred = True
             if kid >= 0:
                 # The device already inserted the keyframe; resolve the
                 # host half: place-recognition index + local mapping +
                 # loop closing (the reference's LocalMapping queue,
                 # consumed here with <= C frames of lag).
                 self.metrics["keyframes_created"] += 1
+                self._kf_deferred = False
                 self.ref_kf = kid
                 self.last_kf_frame_id = fid
                 if self.database is not None:
@@ -1115,11 +1154,10 @@ class Tracker:
                         kid, self.map.kf_desc[kid], self.map.kf_kp_valid[kid]
                     )
                 if self.mapping_pipeline is not None:
-                    # Async hand-off; if a rare second keyframe fired in
-                    # the same chunk, drain the previous job first.
-                    if not self.mapping_pipeline.accept_keyframes():
-                        self._adopt(self.mapping_pipeline.wait())
-                    self.mapping_pipeline.submit(self.map, kid)
+                    # Async hand-off through the keyframe FIFO; the worker
+                    # picks it up now if idle, else at the next adoption.
+                    self._kf_queue.append(kid)
+                    self._submit_next_kf()
                 elif self.local_mapper is not None:
                     self.map = self.local_mapper.process_keyframe(
                         self.map, kid
@@ -1485,7 +1523,8 @@ class Tracker:
         m = self.map
         desc0 = self.init_ref.desc
         m, pids = add_points(
-            m, pts_scaled, desc0, jnp.asarray(good), jnp.int32(0)
+            m, pts_scaled, desc0, jnp.asarray(good), jnp.int32(0),
+            reverse=True,
         )
         # Bindings: slot i of ref frame -> pids[i]; matched slot of cur.
         bind0 = jnp.where(jnp.asarray(good), pids, NO_POINT)
@@ -1536,7 +1575,8 @@ class Tracker:
             return
         T0 = jnp.eye(4)
         pos_w, ok = unproject_frame_depth(frame, T0, self.cam)
-        m, pids = add_points(self.map, pos_w, frame.desc, ok, jnp.int32(0))
+        m, pids = add_points(self.map, pos_w, frame.desc, ok, jnp.int32(0),
+                             reverse=True)
         bind = jnp.where(ok, pids, NO_POINT)
         m, kf0 = insert_keyframe(
             m, frame, T0, jnp.int32(self.frame_id), bind, jnp.int32(-1)
@@ -1674,7 +1714,8 @@ class Tracker:
             # Spawn close-depth points for unbound keypoints (Tracking.cc:≈1060).
             pos_w, ok = unproject_frame_depth(frame, T, self.cam)
             ok = ok & (bindings < 0) & (frame.depth < self._th_depth())
-            m, pids = add_points(m, pos_w, frame.desc, ok, m.n_kf)
+            m, pids = add_points(m, pos_w, frame.desc, ok, m.n_kf,
+                                 reverse=True)
             bindings = jnp.where(ok & (pids >= 0), pids, bindings)
         m, kf_id = insert_keyframe(
             m, frame, T, jnp.int32(fid), bindings,
@@ -1693,7 +1734,8 @@ class Tracker:
             # keeps ITS map (already containing the new keyframe); mapping
             # + loop closing run on a snapshot in the worker and are
             # adopted at a later frame boundary (_poll_adopt).
-            self.mapping_pipeline.submit(self.map, int(kf_id))
+            self._kf_queue.append(int(kf_id))
+            self._submit_next_kf()
             return
         if self.local_mapper is not None:
             self.map = self.local_mapper.process_keyframe(self.map, int(kf_id))
@@ -1718,12 +1760,13 @@ class Tracker:
         wait (InterruptBA) and return True — a job that overruns the grace
         period only defers the keyframe, never stalls tracking."""
         mp = self.mapping_pipeline
-        if mp is None or mp.accept_keyframes():
+        if mp is None or len(self._kf_queue) < self.kf_queue_depth:
             return True
         if self.frame_id - self.last_kf_frame_id >= self.kf_urgent_gap:
             res = mp.wait(timeout=self.kf_urgent_wait_s)
             if res is not None:
                 self._adopt(res)
+            if len(self._kf_queue) < self.kf_queue_depth:
                 return True
         return False  # deferred: SetAcceptKeyFrames(false)
 
@@ -1738,17 +1781,19 @@ class Tracker:
         bindings against the post-mapping point pool."""
         if result is None:
             return
-        from .async_pipeline import merge_tracking_stats
+        from .async_pipeline import adopt_mapped_state
 
-        mapped, snapshot, _kf, pool_state = result
-        new_map = merge_tracking_stats(mapped, snapshot, self.map)
-        # World re-anchor: T_cw_new = T_cw_old * T_rw_old^-1 * T_rw_new for
-        # the tracker's reference keyframe (velocity is invariant to this
-        # right-multiplication).  Computed ON DEVICE — adoption itself
-        # performs NO host sync: the pool state its maintenance needs rides
-        # the loop-detection readback the worker already paid (pool_state),
-        # falling back to the last chunk readback's copy.
-        ref = jnp.int32(self.ref_kf)
+        mapped, snapshot, job_kf, pool_state = result
+        new_map = adopt_mapped_state(mapped, snapshot, self.map)
+        # World re-anchor: T_cw_new = T_cw_old * T_rw_old^-1 * T_rw_new
+        # through the JOB's keyframe — guaranteed to exist in the snapshot
+        # (the tracker's current ref_kf may post-date it now that
+        # insertion doesn't wait for the worker).  Velocity is invariant
+        # to this right-multiplication.  Computed ON DEVICE — adoption
+        # itself performs NO host sync: the pool state its maintenance
+        # needs rides the loop-detection readback the worker already paid
+        # (pool_state), falling back to the last chunk readback's copy.
+        ref = jnp.int32(job_kf)
         R = jnp.where(
             new_map.kf_valid[ref],
             se3_inverse(snapshot.kf_pose_cw[ref]) @ new_map.kf_pose_cw[ref],
@@ -1786,6 +1831,17 @@ class Tracker:
             n_kf = int(n_kf)
         self._reanchor_culled_refs(kf_valid=kf_valid_np)
         self._maybe_compact(n_kf=n_kf)
+        self._submit_next_kf()
+
+    def _submit_next_kf(self):
+        """Dispatch the oldest queued keyframe to the mapping worker (the
+        LocalMapping thread popping mlNewKeyFrames)."""
+        mp = self.mapping_pipeline
+        if getattr(self, "_no_submit", False):
+            return  # compaction drain in progress: ids about to be remapped
+        if mp is not None and self._kf_queue and mp.accept_keyframes():
+            kid = self._kf_queue.pop(0)
+            mp.submit(self.map, kid)
 
     # -- keyframe-pool maintenance ------------------------------------------
 
@@ -1856,11 +1912,18 @@ class Tracker:
             and not self.mapping_pipeline.accept_keyframes()
         ):
             # Compaction remaps keyframe ids; an in-flight mapping job holds
-            # a pre-compaction snapshot — adopt it first.
-            self._adopt(self.mapping_pipeline.wait())
+            # a pre-compaction snapshot — adopt it first, WITHOUT letting
+            # adoption dispatch the next queued job (its snapshot would be
+            # pre-compaction and its id is about to be remapped).
+            self._no_submit = True
+            try:
+                self._adopt(self.mapping_pipeline.wait())
+            finally:
+                self._no_submit = False
         self._reanchor_culled_refs()
         m2, kf_map = ms.compact_map(self.map)
         if int(m2.n_kf) >= int(self.map.n_kf):
+            self._submit_next_kf()  # keep the worker fed
             return  # nothing reclaimed; pool genuinely full
         self.map = m2
 
@@ -1868,6 +1931,9 @@ class Tracker:
             return int(kf_map[k]) if k >= 0 else -1
 
         self.ref_kf = max(r(self.ref_kf), 0)
+        # Queued-but-unmapped keyframes survive compaction (they are valid
+        # rows); remap their ids, dropping any the compactor culled.
+        self._kf_queue = [r(k) for k in self._kf_queue if r(k) >= 0]
         self.metrics["compactions"] = self.metrics.get("compactions", 0) + 1
         self.trajectory = [
             (fid, T_cr, max(r(ref), 0), lost)
@@ -1884,6 +1950,8 @@ class Tracker:
             self.database.remap(kf_map)
         if self.loop_closer is not None:
             self.loop_closer.remap(kf_map)
+        # Restart the worker on the post-compaction map/ids.
+        self._submit_next_kf()
 
     # -- bookkeeping -------------------------------------------------------
 
