@@ -150,6 +150,21 @@ class TpuSettings:
     fuse_second_neighbors: int = 5     # + 2nd-order (LocalMapping.cc:≈370)
     ransac_iters: int = 256            # batched hypothesis count
     min_init_matches: int = 100        # mono-init match gate (Tracking.cc:≈600)
+    # Keyframe-cadence policy (NeedNewKeyFrame, Tracking.cc:≈980 — the
+    # reference's (c1a||c1b||c1c)&&c2 structure):
+    kf_max_gap: int = 10               # c1a: mMaxFrames analog (frames)
+    kf_busy_frames: int = 2            # c1b: deterministic mapper-occupancy
+                                       # model — a mapping job occupies the
+                                       # mapper ~this many frames (the
+                                       # reference's 60-300 ms LocalMapping
+                                       # budget at frame rate); "idle" once
+                                       # the gap since the last KF exceeds it
+    kf_queue_depth: int = 3            # mlNewKeyFrames queue<3 gate
+                                       # (Tracking.cc:≈1050)
+    kf_urgent_gap: int = 10            # InterruptBA-class urgent adopt when
+                                       # the KF gap reaches this (frames)
+    kf_urgent_wait_s: float = 0.5      # grace for the urgent adopt (covers a
+                                       # normally-finishing mapping job tail)
     mesh_shape: tuple = (1,)           # device mesh ("map" axis)
     dtype: str = "float32"
 

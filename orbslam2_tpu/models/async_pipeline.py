@@ -70,6 +70,7 @@ def adopt_mapped_state(
     m_mapped: ms.MapState,
     snapshot: ms.MapState,
     m_tracked: ms.MapState,
+    job_kf: jnp.ndarray = None,
 ) -> ms.MapState:
     """Full adoption merge: the worker's mapped result + everything the
     TRACKER changed since the snapshot.
@@ -94,12 +95,34 @@ def adopt_mapped_state(
         the final pool slot still holds the point it meant (same
         pt_first_kf) — points the worker culled or Replace-merged
         disappear from the new keyframes exactly as EraseObservation
-        would.
+        would,
+      * WORLD RE-ANCHORING of the merged rows (``job_kf`` given): the
+        tracker rows and their spawned points are expressed in the
+        SNAPSHOT's world frame; after a loop-correction (or BA) job moved
+        the map, they must be re-expressed through the job keyframe's
+        pose delta R = T_j_snap^-1 T_j_mapped — pose rows become
+        T_i R, point positions p become R^-1 p (and normals rotate
+        accordingly) — the reference CorrectLoop's correction of
+        mvpCurrentConnectedKFs + their MapPoints (LoopClosing.cc:≈330)
+        applied to the keyframes the queue inserted during the job.
     """
     m = merge_tracking_stats(m_mapped, snapshot, m_tracked)
     K = m.kf_capacity
     rows = jnp.arange(K)
     new_kf = (rows >= snapshot.n_kf) & (rows < m_tracked.n_kf)
+
+    if job_kf is None:
+        R = jnp.eye(4, dtype=jnp.float32)
+    else:
+        j = jnp.int32(job_kf)
+        T_snap = snapshot.kf_pose_cw[j]
+        T_new = m_mapped.kf_pose_cw[j]
+        R = jnp.where(
+            snapshot.kf_valid[j] & m_mapped.kf_valid[j],
+            jnp.linalg.inv(T_snap) @ T_new,
+            jnp.eye(4, dtype=jnp.float32),
+        )
+    R_inv = jnp.linalg.inv(R)
 
     def take_kf(a_mapped, a_tracked):
         mask = new_kf.reshape((K,) + (1,) * (a_mapped.ndim - 1))
@@ -117,7 +140,7 @@ def adopt_mapped_state(
         return jnp.where(mask, a_tracked, a_merged)
 
     m = m._replace(
-        kf_pose_cw=take_kf(m.kf_pose_cw, m_tracked.kf_pose_cw),
+        kf_pose_cw=take_kf(m.kf_pose_cw, m_tracked.kf_pose_cw @ R),
         kf_xy=take_kf(m.kf_xy, m_tracked.kf_xy),
         kf_level=take_kf(m.kf_level, m_tracked.kf_level),
         kf_angle=take_kf(m.kf_angle, m_tracked.kf_angle),
@@ -128,8 +151,10 @@ def adopt_mapped_state(
         kf_valid=take_kf(m.kf_valid, m_tracked.kf_valid),
         kf_frame_id=take_kf(m.kf_frame_id, m_tracked.kf_frame_id),
         kf_parent=take_kf(m.kf_parent, m_tracked.kf_parent),
-        pt_pos=take_point(m.pt_pos, m_tracked.pt_pos),
-        pt_normal=take_point(m.pt_normal, m_tracked.pt_normal),
+        pt_pos=take_point(
+            m.pt_pos, m_tracked.pt_pos @ R_inv[:3, :3].T + R_inv[:3, 3]
+        ),
+        pt_normal=take_point(m.pt_normal, m_tracked.pt_normal @ R_inv[:3, :3].T),
         pt_desc=take_point(m.pt_desc, m_tracked.pt_desc),
         pt_min_dist=take_point(m.pt_min_dist, m_tracked.pt_min_dist),
         pt_max_dist=take_point(m.pt_max_dist, m_tracked.pt_max_dist),

@@ -190,9 +190,9 @@ class KeyframeDatabase:
         covisible with it — read
         back in the SAME device_get as the scores so consistency tracking
         costs no extra sync.  ``extras``: optional pytree of device arrays
-        piggybacked on that device_get; the host copies land in
-        ``self.last_extras`` (callers use this to fetch pool state without
-        paying another sync)."""
+        piggybacked on that device_get; the host copies are returned as
+        the 4th tuple element ``extras_host`` (callers use this to fetch
+        pool state without paying another sync)."""
         eligible = eligible & (common > 0)
         max_common = jnp.max(jnp.where(eligible, common, 0.0))
         shortlist = eligible & (common > 0.8 * max_common)

@@ -56,9 +56,17 @@ def _bucket(cap: int, n: int, lo: int = 8) -> int:
 
 @jax.jit
 def cull_map_points(m: ms.MapState) -> ms.MapState:
-    """MapPointCulling: drop points with found/visible < 0.25, or points
-    that are no longer observed by >= 2 keyframes once mature
-    (>= 2 keyframes after creation).
+    """MapPointCulling (LocalMapping.cc:≈140) with the reference's
+    PROBATION-WINDOW semantics: only RECENTLY created points (the
+    mlpRecentAddedMapPoints list — points less than ~3 keyframes old) are
+    eligible for the found-ratio < 0.25 and min-observation culls; a point
+    that survives 3 keyframes graduates and is never ratio-culled again.
+    An earlier forever-eligible form here culled OLD map points exactly
+    when a loop revisit made them frustum-visible but hard to match
+    (found ratio decays on approach), eroding the revisit-side keyframes'
+    bound-feature sets and starving the loop SearchByBoW >= 20 gate
+    (measured: 600+ raw-descriptor matches on a true revisit pair vs <= 19
+    bound-point matches).
 
     Pool-pressure extension (no reference analog — its heap is unbounded):
     when the fixed point pool is > 90% full the weakest survivors are also
@@ -71,7 +79,10 @@ def cull_map_points(m: ms.MapState) -> ms.MapState:
     )
     n_obs = ms.point_observation_counts(m)
     age = m.n_kf - m.pt_first_kf  # keyframes since creation
-    bad = (found_ratio < 0.25) | ((age >= 2) & (n_obs < 2))
+    probation = age <= 3
+    bad = probation & (
+        (found_ratio < 0.25) | ((age >= 2) & (n_obs < 2))
+    )
     keep = m.pt_valid & ~bad
 
     P = m.pt_capacity

@@ -168,7 +168,11 @@ class SlamSystem:
         10-60 s compile through the TPU tunnel."""
         if self.local_mapper is not None:
             if self.mapping_pipeline is not None:
-                self.mapping_pipeline.wait()
+                # Drain THROUGH the tracker's adoption path: a job caught
+                # in flight here carries mapping/loop output that must not
+                # be silently dropped (and adoption re-dispatches any
+                # queued keyframes).
+                self.tracker._adopt(self.mapping_pipeline.wait())
             self.local_mapper.warm(self.tracker.map)
         if self.loop_closer is not None:
             self.loop_closer.warm(self.tracker.map)

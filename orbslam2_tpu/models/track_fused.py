@@ -96,6 +96,8 @@ def _fused_track(
     th_depth: float,
     sensor: str,
     local_window: int = 80,
+    kf_max_gap: int = 10,
+    kf_busy_frames: int = 3,
 ) -> TrackOut:
     """The Track() chain on device.  All nested jitted steps inline."""
     N = frame.xy.shape[0]
@@ -207,15 +209,32 @@ def _fused_track(
     T_log = jnp.where(ok, T_out, ctx.T_last)
     T_cr = T_log @ se3_inverse(m.kf_pose_cw[ctx.ref_kf])
 
-    # NeedNewKeyFrame (Tracking.cc:≈980): ref-KF match ratio + max frame gap
-    # + close-point starvation (stereo/RGB-D).  Host applies the
-    # localization-only override and the mapper-idle/queue gates (_kf_gate
-    # — the SetAcceptKeyFrames/InterruptBA protocol); capacity and the
+    # NeedNewKeyFrame (Tracking.cc:≈980), reference-exact structure
+    # `(c1a || c1b || c1c) && c2`:
+    #   c1a  max frame gap since the last keyframe (mMaxFrames)
+    #   c1b  MinFrames passed AND local mapping idle — modeled here as a
+    #        DETERMINISTIC mapper-occupancy window: a mapping job
+    #        (triangulate + fuse + local BA) occupies the mapper for
+    #        ~kf_busy_frames frames of wall time (the reference's 60-300 ms
+    #        LocalMapping budget at frame rate, TRO'17 Table V), so the
+    #        mapper is "idle" once that many frames have elapsed.  A
+    #        wall-clock idle probe here would make the keyframe cadence —
+    #        and every downstream covisibility/BoW statistic — host-speed
+    #        dependent; the deterministic model keeps runs reproducible.
+    #   c1c  (stereo/RGB-D only) tracking collapsed vs the reference KF or
+    #        close-point starvation — bypasses the gap conditions.
+    #   c2   weak ref-KF match ratio (or close starvation) AND > 15
+    #        inliers.  The previous OR-of-everything form here inserted a
+    #        keyframe nearly every frame on mono (measured 102 KFs in 138
+    #        frames), diluting per-KF covisibility and starving the loop
+    #        SearchByBoW >= 20 gate.
+    # Host applies the localization-only override and the queue gates
+    # (_kf_gate — SetAcceptKeyFrames/InterruptBA); capacity and the
     # post-relocalization suppression are checked here.
     # nRefMatches counts ref-KF points with >= nMinObs observers (the
-    # reference uses nMinObs = 3 once the map has > 2 keyframes) — weakly
-    # observed points don't count toward the "map is still well observed
-    # here" evidence.
+    # reference uses nMinObs = 3 once the map has > 2 keyframes, 2 below)
+    # — weakly observed points don't count toward the "map is still well
+    # observed here" evidence.
     obs_counts = (
         jnp.zeros((m.pt_capacity,), jnp.int32)
         .at[jnp.where(
@@ -225,18 +244,32 @@ def _fused_track(
     )
     ref_pid = m.kf_point[ctx.ref_kf]
     ref_bound = (ref_pid >= 0) & m.kf_kp_valid[ctx.ref_kf]
-    min_obs = jnp.where(m.n_kf > 2, 3, 1)
+    min_obs = jnp.where(m.n_kf > 2, 3, 2)
     kf_tracked = jnp.sum(
         ref_bound & (obs_counts[jnp.maximum(ref_pid, 0)] >= min_obs)
     ).astype(jnp.int32)
     ratio_th = 0.9 if sensor == "mono" else 0.75
-    need = (nf.astype(jnp.float32) < ratio_th * kf_tracked.astype(jnp.float32)) & (nf > 15)
-    need = need | (ctx.frames_since_kf >= 10)
     if sensor != "mono":
         close = (frame.depth > 0) & (frame.depth < th_depth)
         n_close_tracked = jnp.sum(close & (bf >= 0)).astype(jnp.int32)
         n_close_total = jnp.sum(close & frame.valid).astype(jnp.int32)
-        need = need | ((n_close_tracked < 100) & (n_close_total > 70))
+        close_starved = (n_close_tracked < 100) & (n_close_total > 70)
+    else:
+        close_starved = jnp.asarray(False)
+    ratio_weak = (
+        nf.astype(jnp.float32) < ratio_th * kf_tracked.astype(jnp.float32)
+    )
+    c1a = ctx.frames_since_kf >= kf_max_gap
+    c1b = ctx.frames_since_kf >= kf_busy_frames
+    if sensor != "mono":
+        c1c = (
+            nf.astype(jnp.float32)
+            < 0.25 * kf_tracked.astype(jnp.float32)
+        ) | close_starved
+    else:
+        c1c = jnp.asarray(False)
+    c2 = (ratio_weak | close_starved) & (nf > 15)
+    need = (c1a | c1b | c1c) & c2
     need = need & (ctx.frames_since_kf >= 1) & ok
     need = need & (m.n_kf < m.kf_capacity - 1)
 
@@ -306,7 +339,7 @@ _TRACKER_CACHE: dict = {}
 
 def _tracker_cache_key(kind, extractor, cam, scale_factors, inv_sigma2,
                        sensor, th_depth, depth_map_factor, donate_map,
-                       local_window=80):
+                       local_window=80, kf_max_gap=10, kf_busy_frames=3):
     import numpy as _np
 
     def b(v):
@@ -320,7 +353,7 @@ def _tracker_cache_key(kind, extractor, cam, scale_factors, inv_sigma2,
         tuple(b(v) for v in cam),
         b(scale_factors), b(inv_sigma2),
         sensor, float(th_depth), float(depth_map_factor), bool(donate_map),
-        int(local_window),
+        int(local_window), int(kf_max_gap), int(kf_busy_frames),
     )
 
 
@@ -334,6 +367,8 @@ def make_fused_chunk_tracker(
     depth_map_factor: float = 1.0,
     donate_map: bool = True,
     local_window: int = 80,
+    kf_max_gap: int = 10,
+    kf_busy_frames: int = 3,
 ):
     """C frames of tracking as ONE device program (`lax.scan`).
 
@@ -362,6 +397,7 @@ def make_fused_chunk_tracker(
     key = _tracker_cache_key(
         "chunk", extractor, cam, scale_factors, inv_sigma2, sensor,
         th_depth, depth_map_factor, donate_map, local_window,
+        kf_max_gap, kf_busy_frames,
     )
     if key in _TRACKER_CACHE:
         return _TRACKER_CACHE[key]
@@ -385,6 +421,7 @@ def make_fused_chunk_tracker(
             out = _fused_track(
                 m, frame, ctx, cam, scale_factors, inv_sigma2,
                 th_depth, sensor, local_window=local_window,
+                kf_max_gap=kf_max_gap, kf_busy_frames=kf_busy_frames,
             )
             need = (out.flags[FLAG_NEED_KF] > 0) & (fid >= min_kf_fid)
 
@@ -465,6 +502,8 @@ def make_fused_frame_tracker(
     depth_map_factor: float = 1.0,
     donate_map: bool = True,
     local_window: int = 80,
+    kf_max_gap: int = 10,
+    kf_busy_frames: int = 3,
 ):
     """Build the single-dispatch per-frame program for one sensor config.
 
@@ -480,6 +519,7 @@ def make_fused_frame_tracker(
     key = _tracker_cache_key(
         "frame", extractor, cam, scale_factors, inv_sigma2, sensor,
         th_depth, depth_map_factor, donate_map, local_window,
+        kf_max_gap, kf_busy_frames,
     )
     if key in _TRACKER_CACHE:
         return _TRACKER_CACHE[key]
@@ -491,6 +531,7 @@ def make_fused_frame_tracker(
             return _fused_track(
                 m, frame, ctx, cam, scale_factors, inv_sigma2,
                 th_depth, sensor, local_window=local_window,
+                kf_max_gap=kf_max_gap, kf_busy_frames=kf_busy_frames,
             )
 
         jitted = jax.jit(step, donate_argnums=(1,) if donate_map else ())
@@ -504,6 +545,7 @@ def make_fused_frame_tracker(
             return _fused_track(
                 m, frame, ctx, cam, scale_factors, inv_sigma2,
                 th_depth, sensor, local_window=local_window,
+                kf_max_gap=kf_max_gap, kf_busy_frames=kf_busy_frames,
             )
 
         jitted = jax.jit(step, donate_argnums=(2,) if donate_map else ())
@@ -517,6 +559,7 @@ def make_fused_frame_tracker(
             return _fused_track(
                 m, frame, ctx, cam, scale_factors, inv_sigma2,
                 th_depth, sensor, local_window=local_window,
+                kf_max_gap=kf_max_gap, kf_busy_frames=kf_busy_frames,
             )
 
         jitted = jax.jit(step, donate_argnums=(2,) if donate_map else ())

@@ -557,11 +557,11 @@ class Tracker:
         # request is dropped (SetAcceptKeyFrames(false)) unless the gap
         # since the last keyframe reaches this many frames, in which case
         # the tracker block-adopts (InterruptBA) and inserts anyway.
-        self.kf_urgent_gap = 10
+        self.kf_urgent_gap = settings.tpu.kf_urgent_gap
         # Grace period for the urgent adopt: covers a normally-finishing
         # mapping job's tail (~0.2 s of device work on TPU) while bounding
         # the worst-case tracking stall.
-        self.kf_urgent_wait_s = 0.5
+        self.kf_urgent_wait_s = settings.tpu.kf_urgent_wait_s
         # Chunked driver mode: C frames per dispatch via lax.scan with
         # ON-DEVICE keyframe decision + insertion (track_fused.py's
         # make_fused_chunk_tracker).  Mapping/loop-closing resolve after
@@ -581,7 +581,7 @@ class Tracker:
         # Correctness rests on adopt_mapped_state folding post-snapshot
         # insertions back in (async_pipeline).
         self._kf_queue: list = []
-        self.kf_queue_depth = 3
+        self.kf_queue_depth = settings.tpu.kf_queue_depth
         self._chunk_step = None
         # Pipelined driver mode: per-frame decision flags are read back
         # with a ONE-FRAME lag so the host never blocks on the device —
@@ -718,6 +718,8 @@ class Tracker:
                 self.inv_sigma2, sensor, self._th_depth(),
                 self.settings.camera.depth_map_factor,
                 local_window=self.settings.tpu.local_window,
+                kf_max_gap=self.settings.tpu.kf_max_gap,
+                kf_busy_frames=self.settings.tpu.kf_busy_frames,
             )
             self._fused_sensor = sensor
         return self._fused_step
@@ -1008,6 +1010,8 @@ class Tracker:
                 self.inv_sigma2, sensor, self._th_depth(),
                 self.settings.camera.depth_map_factor,
                 local_window=self.settings.tpu.local_window,
+                kf_max_gap=self.settings.tpu.kf_max_gap,
+                kf_busy_frames=self.settings.tpu.kf_busy_frames,
             )
             self._fused_sensor = sensor
         return self._chunk_step
@@ -1610,7 +1614,7 @@ class Tracker:
             return False
         frames_since = self.frame_id - self.last_kf_frame_id
         n_kf_now = int(self.map.n_kf)
-        min_obs = 3 if n_kf_now > 2 else 1
+        min_obs = 3 if n_kf_now > 2 else 2
         obs_counts = ms.point_observation_counts(self.map)
         ref_pid = self.map.kf_point[self.ref_kf]
         ref_bound = (ref_pid >= 0) & self.map.kf_kp_valid[self.ref_kf]
@@ -1620,9 +1624,11 @@ class Tracker:
                 & (obs_counts[jnp.maximum(ref_pid, 0)] >= min_obs)
             ).sum()
         )
+        # Reference-exact (c1a||c1b||c1c)&&c2 — see _fused_track's policy
+        # block (track_fused.py) for the rationale and the deterministic
+        # mapper-occupancy model behind c1b.
         ratio_th = 0.9 if sensor == "mono" else 0.75
-        need = (n_inliers < ratio_th * kf_tracked and n_inliers > 15)
-        need = need or frames_since >= 10  # MaxFrames=fps fallback (1/3 s here)
+        close_starved = False
         if sensor != "mono":
             n_close_tracked = int(
                 ((frame.depth > 0) & (frame.depth < self._th_depth())
@@ -1632,7 +1638,17 @@ class Tracker:
                 ((frame.depth > 0) & (frame.depth < self._th_depth())
                  & frame.valid).sum()
             )
-            need = need or (n_close_tracked < 100 and n_close_total > 70)
+            close_starved = (n_close_tracked < 100 and n_close_total > 70)
+        c1a = frames_since >= self.settings.tpu.kf_max_gap
+        c1b = frames_since >= self.settings.tpu.kf_busy_frames
+        c1c = sensor != "mono" and (
+            n_inliers < 0.25 * kf_tracked or close_starved
+        )
+        c2 = (
+            (n_inliers < ratio_th * kf_tracked or close_starved)
+            and n_inliers > 15
+        )
+        need = (c1a or c1b or c1c) and c2
         return need and frames_since >= 1
 
     def _mark_reloc(self):
@@ -1784,7 +1800,9 @@ class Tracker:
         from .async_pipeline import adopt_mapped_state
 
         mapped, snapshot, job_kf, pool_state = result
-        new_map = adopt_mapped_state(mapped, snapshot, self.map)
+        new_map = adopt_mapped_state(
+            mapped, snapshot, self.map, jnp.int32(job_kf)
+        )
         # World re-anchor: T_cw_new = T_cw_old * T_rw_old^-1 * T_rw_new
         # through the JOB's keyframe — guaranteed to exist in the snapshot
         # (the tracker's current ref_kf may post-date it now that
