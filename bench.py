@@ -38,8 +38,9 @@ import time
 import numpy as np
 
 BASELINE_FPS = 33.0
-CHUNK = 8
-N_FRAMES = 96
+import os as _os
+CHUNK = int(_os.environ.get("ORB_BENCH_CHUNK", "8"))
+N_FRAMES = int(_os.environ.get("ORB_BENCH_FRAMES", "96"))
 
 
 def build():
@@ -82,6 +83,68 @@ def run(sys, imgs, deps):
     sys.shutdown()
 
 
+def secondary_metrics(sys, imgs):
+    """BASELINE.json's other north-star metrics, measured on-chip after the
+    warmup pass: ORB extraction latency and BA iterations/sec at the
+    production local-BA window (round-4 verdict ask #4).  Printed as extra
+    JSON lines BEFORE the primary metric (the driver parses the last
+    line)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam2_tpu.solvers.local_ba import local_bundle_adjustment
+
+    tr = sys.tracker
+    # --- extract_ms_per_frame: the reference budget is 11-15 ms/image
+    # (TRO'17 Table V; ORBextractor.cc:≈1000). ---
+    ex = tr.extractor
+    feats = ex(imgs[0])
+    jax.block_until_ready(feats.desc)  # compile
+    t0 = time.perf_counter()
+    n_it = 20
+    for i in range(n_it):
+        feats = ex(imgs[i % len(imgs)])
+    jax.block_until_ready(feats.desc)
+    extract_ms = (time.perf_counter() - t0) / n_it * 1e3
+    print(json.dumps({
+        "metric": "extract_ms_per_frame_640x480_1000feat",
+        "value": round(extract_ms, 2),
+        "unit": "ms/image",
+        "vs_baseline": round(13.0 / max(extract_ms, 1e-9), 3),
+    }))
+
+    # --- ba_iterations_per_sec: the large local-BA bucket (32 free + 16
+    # fixed cameras) on the warmed map; each call runs 5+10 LM iterations
+    # (Optimizer.cc:≈460's schedule). ---
+    m = tr.map
+    tpu = tr.settings.tpu
+    kf = jnp.int32(max(int(jax.device_get(m.n_kf)) - 1, 0))
+    kwargs = dict(
+        n_local=tpu.ba_local_window, n_fixed=tpu.ba_fixed_window,
+        phase_iters=(5, 10),
+    )
+    out = local_bundle_adjustment(m, kf, tr.cam, tr.inv_sigma2, **kwargs)
+    jax.block_until_ready(out.kf_pose_cw)  # compile
+    iters_per_call = 15
+    t0 = time.perf_counter()
+    n_calls = 5
+    for _ in range(n_calls):
+        out = local_bundle_adjustment(
+            m, kf, tr.cam, tr.inv_sigma2, **kwargs
+        )
+    jax.block_until_ready(out.kf_pose_cw)
+    dt = time.perf_counter() - t0
+    ba_ips = n_calls * iters_per_call / dt
+    # Reference class: local BA ~100-300 ms for 15 iterations on the i7
+    # (TRO'17 Table V) -> ~50-150 LM iterations/sec.
+    print(json.dumps({
+        "metric": "ba_iterations_per_sec_local32+16",
+        "value": round(ba_ips, 1),
+        "unit": "LM iters/sec",
+        "vs_baseline": round(ba_ips / 100.0, 3),
+    }))
+
+
 def main():
     make_system, imgs, deps, seq = build()
 
@@ -96,11 +159,19 @@ def main():
     run(sys, imgs[: len(imgs) // 2], deps[: len(deps) // 2])
     kf_warm = sys.tracker.metrics["keyframes_created"]
     sys.warm_mapping()
+    secondary_metrics(sys, imgs)
+    # One full throwaway pass: the first full-sequence pass after warmup
+    # consistently measures 3-5x slower than steady state (allocator /
+    # tunnel cache effects, not compiles — keyframe counts match), which
+    # would waste one of the 5 counted passes.
+    run(make_system(), imgs, deps)
 
-    # Median of 3 timed passes: one bad pass (tunnel sync hiccup, stray
+    # Median of 5 timed passes: one bad pass (tunnel sync hiccup, stray
     # host load) must not halve the official number (round-3 verdict #1).
+    import sys as _sys
+
     fps_runs = []
-    for _ in range(3):
+    for _ in range(5):
         sys = make_system()
         t0 = time.perf_counter()
         run(sys, imgs, deps)
@@ -111,6 +182,10 @@ def main():
         assert n_kf >= 3 and jobs >= 3, (
             f"bench must exercise keyframes+mapping (kf={n_kf}, "
             f"jobs={jobs}, warm kf={kf_warm})"
+        )
+        print(
+            f"# pass: {len(imgs) / dt:.2f} fps, kf={n_kf}, jobs={jobs}",
+            file=_sys.stderr,
         )
         fps_runs.append(len(imgs) / dt)
     fps = float(np.median(fps_runs))

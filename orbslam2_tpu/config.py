@@ -163,8 +163,11 @@ class TpuSettings:
                                        # (Tracking.cc:≈1050)
     kf_urgent_gap: int = 10            # InterruptBA-class urgent adopt when
                                        # the KF gap reaches this (frames)
-    kf_urgent_wait_s: float = 0.5      # grace for the urgent adopt (covers a
-                                       # normally-finishing mapping job tail)
+    kf_urgent_wait_s: float = 0.15     # grace for the urgent adopt (covers a
+                                       # normally-finishing mapping job tail;
+                                       # ~115 ms/job after the fused-kernel
+                                       # round — a longer stall only defers
+                                       # the keyframe further)
     mesh_shape: tuple = (1,)           # device mesh ("map" axis)
     dtype: str = "float32"
 

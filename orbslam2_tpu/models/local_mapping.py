@@ -454,12 +454,76 @@ def fuse_neighborhood(
             m, a, b, cam, scale_factors, inv_sigma2_lut, enabled=en
         )
     )(pairs_a, pairs_b, pair_valid)
-    cur = jnp.arange(m.pt_capacity, dtype=jnp.int32)
-    for d in range(pairs_a.shape[0]):
-        pid_d = cur[jnp.clip(pid_all[d], 0, m.pt_capacity - 1)]
-        m, repl = _fuse_apply(m, pairs_b[d], pid_d, idx_all[d], ok_all[d])
-        cur = repl[cur]
-    return m
+    # Sequential binding/Replace with DEFERRED global rebind: the original
+    # form called apply_point_replacements per direction — D full-table
+    # (K, N) kf_point rebinds + D observation-count recomputes, measured
+    # 86 ms of the 194 ms mapping job at the production neighborhood
+    # (D = 30).  Here each direction only composes the (P,) replacement
+    # map, transfers observation counts incrementally, and updates its ONE
+    # target row (later directions read earlier merges through `cur` and
+    # the updated rows — the visibility the sequential reference loop
+    # has); the expensive global rebind + stat merge + invalidation runs
+    # ONCE at the end with every merge redirected to its TERMINAL
+    # survivor.  Residual approximation: the incremental n_obs transfer
+    # double-counts a point that appears as `old` twice within one
+    # direction (duplicate pre-fuse bindings only) — survivor choice is a
+    # heuristic and the final Replace pass is exact.
+    P = m.pt_capacity
+    D = pairs_a.shape[0]
+    n_obs = ms.point_observation_counts(m)
+    cur = jnp.arange(P, dtype=jnp.int32)
+    kf_point = m.kf_point
+    merges_old, merges_new, merges_do = [], [], []
+    for d in range(D):
+        kf_b = pairs_b[d]
+        pid_raw = jnp.clip(pid_all[d], 0, P - 1)
+        pid_d = cur[pid_raw]
+        ok = ok_all[d] & m.pt_valid[pid_raw]
+        row = kf_point[kf_b]
+        row = jnp.where(row >= 0, cur[jnp.clip(row, 0, P - 1)], row)
+        tgt = jnp.where(ok, idx_all[d], 0)
+        incoming = jnp.full_like(row, ms.NO_POINT).at[tgt].set(
+            jnp.where(ok, pid_d, ms.NO_POINT), mode="drop"
+        )
+        dup = (row >= 0) & (incoming >= 0) & (row != incoming)
+        inc_safe = jnp.clip(incoming, 0, P - 1)
+        row_safe = jnp.clip(row, 0, P - 1)
+        a_survives = n_obs[inc_safe] >= n_obs[row_safe]
+        old = jnp.where(a_survives, row, incoming)
+        new = jnp.where(a_survives, incoming, row)
+        old_do = jnp.where(dup, old, -1)
+        merges_old.append(old_do)
+        merges_new.append(new)
+        merges_do.append(dup)
+        old_safe = jnp.clip(old_do, 0, P - 1)
+        repl_d = (
+            jnp.arange(P, dtype=jnp.int32)
+            .at[jnp.where(dup, old_do, P)]
+            .set(jnp.where(dup, new, 0).astype(jnp.int32), mode="drop")
+        )
+        cur = repl_d[cur]
+        moved = jnp.where(dup, n_obs[old_safe], 0)
+        n_obs = n_obs.at[jnp.clip(new, 0, P - 1)].add(moved, mode="drop")
+        n_obs = n_obs.at[old_safe].add(-moved, mode="drop")
+        #
+
+        row2 = jnp.where(row >= 0, repl_d[row_safe], row)
+        incoming2 = jnp.where(incoming >= 0, repl_d[inc_safe], incoming)
+        newly = (row2 < 0) & (incoming2 >= 0)
+        row_new = jnp.where(newly, incoming2, row2)
+        n_obs = n_obs.at[
+            jnp.where(newly, incoming2, P)
+        ].add(1, mode="drop")
+        kf_point = kf_point.at[kf_b].set(row_new)
+    m = m._replace(kf_point=kf_point)
+    mo = jnp.concatenate(merges_old)
+    mn = jnp.concatenate(merges_new)
+    md = jnp.concatenate(merges_do)
+    # Redirect every merge to its TERMINAL survivor so chained merges
+    # (old1 -> s at d1, s -> s2 at d2) survive apply_point_replacements'
+    # retired-target drop as (old1 -> s2, s -> s2).
+    mn_t = jnp.where(md, cur[jnp.clip(mn, 0, P - 1)], mn)
+    return ms.apply_point_replacements(m, mo, mn_t, md)
 
 
 class LocalMapper:

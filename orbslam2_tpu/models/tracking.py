@@ -1087,6 +1087,20 @@ class Tracker:
         )
         self.map = out.m
         self._next_ctx = out.next_ctx
+        import os as _os
+        if _os.environ.get("ORB_ASYNC_READBACK", "1") == "1":
+            # Start the chunk-readback D2H copies NOW so they ride the
+            # tunnel alongside device compute; by resolve time (lag-1,
+            # after the NEXT dispatch) device_get returns from the local
+            # copies instead of paying the ~30 ms tunnel round trip.
+            # A/B on the tunnel was inside run-to-run noise; kill switch
+            # for PCIe-host profiling.
+            for arr in (out.flags, out.T_cw, out.T_cr, out.log_ref,
+                        out.kf_id, out.kf_valid, out.n_kf):
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
         prev, self._pending_chunk = self._pending_chunk, (fid0, buf, out)
         if prev is not None:
             self._resolve_chunk(sensor, *prev)

@@ -164,13 +164,29 @@ def schur_ba_core(
     # reference optimizes all local points; fixed-cam-only points have no
     # local observer and get zero gradient anyway.
 
+    # TPU: the fused Pallas kernel computes residuals + Huber weights +
+    # every normal-equation block in ONE pass per camera (N-minor layout;
+    # the pure-XLA graph fragments into ~100 tiny VPU kernels per LM
+    # iteration — measured 12.8 ms/iter at the production window vs ~1 ms
+    # fused).  CPU (tests) keeps the einsum formulation; both share the
+    # scatter/Schur/Cholesky tail, so they cannot diverge semantically.
+    use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from .ba_kernels import ba_chi2, ba_normal_equations
+
+        uvT = jnp.swapaxes(uv, 1, 2)  # (Cl, 2, N), loop-invariant
+
     def chi2_of(poses, pts, mask):
+        if use_pallas:
+            XT = jnp.swapaxes(pts[pid], 1, 2)
+            chi2_obs, _ = ba_chi2(poses, XT, uvT, ur, inv_s2, mask, cam)
+            return chi2_obs
         r, _, _, behind = _residuals(poses, pts, uv, ur, pid, mask, cam)
         c = jnp.sum(r * r, -1) * inv_s2
         return jnp.where(behind, 1e9, c)
 
-    def lm_step(poses, pts, obs_mask, lam, robust):
-        Cl = poses.shape[0]  # local camera count (== C when not sharded)
+    def _blocks_xla(poses, pts, obs_mask, robust):
+        Cl = poses.shape[0]
         r, J_cam, J_pt, behind = _residuals(poses, pts, uv, ur, pid, obs_mask, cam)
         w = inv_s2 * obs_mask.astype(jnp.float32) * (~behind).astype(jnp.float32)
         if robust:
@@ -182,21 +198,89 @@ def schur_ba_core(
         # Per-camera blocks (local shard).
         H_cc = jnp.einsum("cnij,cn,cnik->cjk", J_cam, w, J_cam)  # (Cl,6,6)
         b_c = jnp.einsum("cnij,cn,cni->cj", J_cam, w, r)         # (Cl,6)
-        # Per-point blocks via scatter-add, reduced across shards (points
-        # are shared by all camera shards).
         flat_pid = pid.reshape(-1)
         Hpp_contrib = jnp.einsum("cnij,cn,cnik->cnjk", J_pt, w, J_pt).reshape(-1, 3, 3)
         bp_contrib = jnp.einsum("cnij,cn,cni->cnj", J_pt, w, r).reshape(-1, 3)
-        H_pp = psum(jnp.zeros((P, 3, 3)).at[flat_pid].add(Hpp_contrib, mode="drop"))
-        b_p = psum(jnp.zeros((P, 3)).at[flat_pid].add(bp_contrib, mode="drop"))
-        # Cross blocks G[p, c] = sum_n Jc^T W Jp  (6x3): local columns,
-        # all-gathered so every shard can form the full reduced system.
-        G_contrib = jnp.einsum("cnij,cn,cnik->cnjk", J_cam, w, J_pt)  # (Cl,N,6,3)
-        cam_idx = jax.lax.broadcasted_iota(jnp.int32, pid.shape, 0).reshape(-1)
-        G_local = jnp.zeros((P, Cl, 6, 3)).at[flat_pid, cam_idx].add(
-            G_contrib.reshape(-1, 6, 3), mode="drop"
+        H_pp = jnp.zeros((P, 3, 3)).at[flat_pid].add(Hpp_contrib, mode="drop")
+        b_p = jnp.zeros((P, 3)).at[flat_pid].add(bp_contrib, mode="drop")
+        # Cross-block contributions as 18 N-minor planes (Cl, 18, N):
+        # plane (i*3+j) holds G[i, j] per observation.
+        G_contrib = jnp.einsum("cnij,cn,cnik->cjkn", J_cam, w, J_pt)
+        return H_cc, b_c, H_pp, b_p, G_contrib.reshape(
+            G_contrib.shape[0], 18, -1
         )
-        G = gather(G_local, axis=1)            # (P, C, 6, 3)
+
+    _TRIU3 = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+    def _blocks_pallas(poses, pts, obs_mask, robust):
+        Cl = poses.shape[0]
+        XT = jnp.swapaxes(pts[pid], 1, 2)
+        H_cc, b_c, pack, _ = ba_normal_equations(
+            poses, XT, uvT, ur, inv_s2, obs_mask, cam, robust
+        )
+        # Fixed cameras contribute nothing camera-side (H_cc, b_c, G) but
+        # keep their point-side contributions — identical to zeroing J_cam.
+        free_f = (~is_fixed).astype(jnp.float32)
+        H_cc = H_cc * free_f[:, None, None]
+        b_c = b_c * free_f[:, None]
+        flat_pid = pid.reshape(-1)
+        # Point-side scatter-adds from the packed per-obs rows.
+        hp6 = jnp.swapaxes(pack[:, 0:6, :], 1, 2).reshape(-1, 6)
+        H6 = jnp.zeros((P, 6)).at[flat_pid].add(hp6, mode="drop")
+        H_pp = jnp.zeros((P, 3, 3))
+        for r_, (a, b) in enumerate(_TRIU3):
+            H_pp = H_pp.at[:, a, b].set(H6[:, r_])
+            if a != b:
+                H_pp = H_pp.at[:, b, a].set(H6[:, r_])
+        bp3 = jnp.swapaxes(pack[:, 6:9, :], 1, 2).reshape(-1, 3)
+        b_p = jnp.zeros((P, 3)).at[flat_pid].add(bp3, mode="drop")
+        # The kernel already emits the cross-block planes N-minor.
+        g18 = pack[:, 9:27, :] * free_f[:, None, None]
+        return H_cc, b_c, H_pp, b_p, g18
+
+    # Inverse observation index: inv_slot[c, p] = the keypoint slot of
+    # point p in camera c (sentinel N when unobserved).  A keyframe binds
+    # a point to at most one keypoint, so the per-iteration cross-block
+    # tensor G[p, c] is a PERMUTATION of the per-observation contributions
+    # — built with a cheap gather here instead of the scatter-add the
+    # original formulation used (the (6,3,P*C) scatter measured 11 ms of
+    # the 12.8 ms LM iteration on TPU; a duplicate binding, which fuse
+    # prevents, would contribute once instead of twice).  Computed ONCE
+    # per call: pid and obs_ok are loop-invariant.
+    Nn = pid.shape[1]
+    Cl0 = pid.shape[0]
+    _cam_iota = jax.lax.broadcasted_iota(jnp.int32, pid.shape, 0)
+    _obs_iota = jax.lax.broadcasted_iota(jnp.int32, pid.shape, 1)
+    inv_slot = (
+        jnp.full((Cl0, P), Nn, jnp.int32)
+        .at[_cam_iota.reshape(-1),
+            jnp.where(obs_ok, pid, P).reshape(-1)]
+        .min(jnp.where(obs_ok, _obs_iota, Nn).reshape(-1), mode="drop")
+    )
+
+    def _gather_G(G_planes):
+        """(Cl, 18, N) per-obs cross-block planes -> (Cl, 6, 3, P),
+        P-minor throughout (a padded (..., 6, 3)-minor tensor tiles at
+        4x128 per 6x3 block — ~9x wasted HBM traffic; this layout and the
+        matmul-form Schur reduction below keep every large intermediate on
+        full tiles)."""
+        Cl = G_planes.shape[0]
+        Gc_pad = jnp.concatenate(
+            [G_planes, jnp.zeros((Cl, 18, 1), G_planes.dtype)], axis=2
+        )
+        Gp = jnp.take_along_axis(
+            Gc_pad, inv_slot[:, None, :], axis=2
+        )  # (Cl, 18, P)
+        return Gp.reshape(Cl, 6, 3, P)
+
+    def lm_step(poses, pts, obs_mask, lam, robust):
+        Cl = poses.shape[0]  # local camera count (== C when not sharded)
+        H_cc, b_c, H_pp, b_p, G_planes = (
+            _blocks_pallas if use_pallas else _blocks_xla
+        )(poses, pts, obs_mask, robust)
+        H_pp = psum(H_pp)
+        b_p = psum(b_p)
+        Gp = gather(_gather_G(G_planes), axis=0)  # (C, 6, 3, P)
         H_cc_all = gather(H_cc)                # (C, 6, 6)
         b_c_all = gather(b_c)                  # (C, 6)
         fixed_all = gather(is_fixed)
@@ -213,13 +297,18 @@ def schur_ba_core(
             0.0,
         )
 
-        # Reduced camera system (replicated across shards).
-        M = jnp.einsum("pcij,pjk->pcik", G, Hpp_inv)       # (P,C,6,3)
-        S_red = jnp.einsum("pcik,pdlk->cidl", M, G)        # (C,6,C,6)
+        # Reduced camera system (replicated across shards), matmul form:
+        # with G[p,c] available as planes Gp[c,i,j,p],
+        #   A[c,i,k,p] = sum_j Gp[c,i,j,p] Hpp_inv[p,j,k]
+        #   S_red[(c,i),(d,l)] = sum_{k,p} A[c,i,k,p] Gp[d,l,k,p]
+        # — ONE (C*6, 3P) x (3P, C*6) MXU contraction instead of the
+        # (P,C,6,3)-tensor einsum chain.
+        A = jnp.einsum("cijp,pjk->cikp", Gp, Hpp_inv)
+        S_red = jnp.einsum("cikp,dlkp->cidl", A, Gp)
         S = (
             _blockdiag(H_cc_all) - S_red.reshape(C * 6, C * 6)
         )
-        rhs = (b_c_all - jnp.einsum("pcik,pk->ci", M, b_p)).reshape(-1)
+        rhs = (b_c_all - jnp.einsum("cikp,pk->ci", A, b_p)).reshape(-1)
         # LM damping on cameras + fix handling: identity rows for fixed/unused.
         diag_scale = jnp.maximum(jnp.diag(S), 1e-6)
         S = S + jnp.diag(lam * diag_scale)
@@ -236,7 +325,7 @@ def schur_ba_core(
             jax.scipy.linalg.cho_factor(S, lower=True), rhs
         ).reshape(C, 6)
         # Back-substitute points: delta_p = -Hpp_inv (b_p + G^T delta_c).
-        Gt_dc = jnp.einsum("pcij,ci->pj", G, delta_c_all)
+        Gt_dc = jnp.einsum("cijp,ci->pj", Gp, delta_c_all)
         delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, b_p + Gt_dc)
         delta_p = jnp.where(active[:, None], delta_p, 0.0)
 

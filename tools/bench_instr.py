@@ -8,6 +8,8 @@ make_system, imgs, deps, seq = B.build()
 
 sys_ = make_system()
 B.run(sys_, imgs, deps)  # warmup
+sys_.warm_mapping()      # precompile BOTH mapping buckets + loop programs
+                         # (bench.py's official path does the same)
 
 sys_ = make_system()
 tr = sys_.tracker
@@ -58,6 +60,7 @@ B.run(sys_, imgs, deps)
 total = time.perf_counter() - t0
 print(f"total: {total:.2f}s  fps={len(imgs)/total:.1f}")
 print(f"chunks: {len(chunk_times)}  sum={sum(chunk_times):.2f}s  each={[round(t*1000) for t in chunk_times]}")
+print("lc metrics:", {k: v for k, v in mp.loop_closer.metrics.items() if not isinstance(v, list)})
 print(f"waits: {len(wait_times)}  sum={sum(wait_times):.2f}s  each={[round(t*1000) for t in wait_times]}")
 print(f"lm enqueue: n={len(lm_times)} sum={sum(lm_times):.2f}s")
 print(f"lc host: n={len(lc_times)} sum={sum(lc_times):.2f}s each={[round(t*1000) for t in lc_times]}")
