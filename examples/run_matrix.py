@@ -12,7 +12,7 @@ Cells:
   x (640x480 @ 1000 features  — the TUM fr1/fr2 operating point)
   x (1241x376 @ 2000 features — the KITTI stereo operating point)
 
-Writes one JSON line per cell and a summary file REFSCALE_r04.json at the
+Writes one JSON line per cell and a summary file REFSCALE_r05.json at the
 repo root.  Run on TPU:  python examples/run_matrix.py
 CPU smoke:               JAX_PLATFORMS=cpu python examples/run_matrix.py \
                            --frames 80 --cells mono_640
@@ -182,7 +182,7 @@ def main():
     args = ap.parse_args()
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "REFSCALE_r04.json",
+        "REFSCALE_r05.json",
     )
     results = []
     if os.path.exists(out):

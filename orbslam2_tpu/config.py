@@ -104,7 +104,13 @@ class OrbSettings:
     n_features: int = 1000
     scale_factor: float = 1.2
     n_levels: int = 8
-    ini_th_fast: int = 20
+    # NOTE: the reference's iniThFAST(=20)/minThFAST(=7) two-pass cell
+    # retry (ORBextractor.cc:≈790: FAST at iniThFAST, retry the cell at
+    # minThFAST when empty) is subsumed here by threshold-free score
+    # ranking: every cell keeps its top-scoring corners above minThFAST,
+    # which is exactly the retry's fixed point.  Only min_th_fast remains
+    # a knob; ORBextractor.iniThFAST in reference YAMLs parses and is
+    # ignored.
     min_th_fast: int = 7
 
 
@@ -203,7 +209,6 @@ class Settings:
             n_features=int(g("ORBextractor.nFeatures", 1000)),
             scale_factor=float(g("ORBextractor.scaleFactor", 1.2)),
             n_levels=int(g("ORBextractor.nLevels", 8)),
-            ini_th_fast=int(g("ORBextractor.iniThFAST", 20)),
             min_th_fast=int(g("ORBextractor.minThFAST", 7)),
         )
         # Feature capacity: next pow2 >= nFeatures (padded static shape).

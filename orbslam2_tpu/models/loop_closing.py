@@ -289,15 +289,17 @@ class LoopCloser:
             self.metrics.get("sim3_bow_retries", 0) + 1
         )
         res = self._sim3_pipeline(
-            m, kf_c, kf_l, node_gated=False, ratio=0.9, ransac_min=7,
+            m, kf_c, kf_l, node_gated=False, ratio=0.9, ransac_min=4,
+            sim3_radius_mult=2.5,
         )
         return self._apply_sim3_gates(
-            m, kf_c, kf_l, res, min_bow=7, min_distinct=6
+            m, kf_c, kf_l, res, min_bow=5, min_distinct=4
         )
 
     def _sim3_pipeline(
         self, m: ms.MapState, kf_c: int, kf_l: int,
         node_gated: bool, ratio: float, ransac_min: int = 20,
+        sim3_radius_mult: float = 1.0,
     ):
         """ComputeSim3's device pipeline: SearchByBoW -> Sim3 RANSAC ->
         SearchBySim3 -> OptimizeSim3 -> neighborhood projection -> refine,
@@ -387,8 +389,13 @@ class LoopCloser:
         # SearchBySim3: enrich matches by mutual projection under S0
         # (ORBmatcher.cc:≈810), then refine on the union.
         scale_factors = self.scale_factors
+        # A RANSAC seed from few matches (the marginal-candidate retry)
+        # is coarse: widen the SearchBySim3 projection windows in
+        # proportion so the top-up can still lock on (the same widening-
+        # retry principle as relocalization's, Tracking.cc:~1370).
         idx_l2, agree = search_by_sim3(
-            m, jnp.int32(kf_c), jnp.int32(kf_l), S0, self.cam, scale_factors
+            m, jnp.int32(kf_c), jnp.int32(kf_l), S0, self.cam,
+            scale_factors, radius_mult=jnp.float32(sim3_radius_mult),
         )
         # Union with the BoW matches: prefer existing pairs, add agreed ones.
         use_new = agree & ~mres.ok
@@ -467,10 +474,19 @@ class LoopCloser:
             )
             return reject("bow")
         if not bool(ransac_ok):
+            self.metrics.setdefault("ransac_reject_detail", []).append(
+                (int(n_matches), int(kf_c), int(kf_l))
+            )
             return reject("ransac")
         if int(n_inliers) < 20:
+            self.metrics.setdefault("opt_reject_detail", []).append(
+                (int(n_matches), int(n_inliers), int(kf_c), int(kf_l))
+            )
             return reject("opt")
         if int(n_proj) < 40:
+            self.metrics.setdefault("proj_reject_detail", []).append(
+                (int(n_inliers), int(n_proj), int(kf_c), int(kf_l))
+            )
             return reject("proj")
 
         # Odometry-consistency gate (robustification beyond the reference,
@@ -943,6 +959,7 @@ def search_by_sim3(
     S_CL: jnp.ndarray,
     cam,
     scale_factors: jnp.ndarray,
+    radius_mult: jnp.ndarray = 1.0,
 ):
     """Bidirectional projection matching under a Sim3 estimate: project the
     loop KF's bound points into the current KF's image via S_CL (and the
@@ -974,7 +991,7 @@ def search_by_sim3(
     # Loop -> current direction.
     uv_lc, vis_lc, pid_l = project_pts(S_CL, kf_l, kf_c)
     lvl = jnp.clip(m.kf_level[kf_l], 0, scale_factors.shape[0] - 1)
-    r = 7.0 * scale_factors[lvl]
+    r = 7.0 * radius_mult * scale_factors[lvl]
     d2 = jnp.sum((uv_lc[:, None, :] - m.kf_xy[kf_c][None, :, :]) ** 2, -1)
     m1 = match_descriptors(
         m.kf_desc[kf_l], vis_lc, m.kf_desc[kf_c], m.kf_kp_valid[kf_c],
@@ -984,7 +1001,7 @@ def search_by_sim3(
     S_LC = sim3_inverse_mat(S_CL)
     uv_cl, vis_cl, pid_c = project_pts(S_LC, kf_c, kf_l)
     lvl_c = jnp.clip(m.kf_level[kf_c], 0, scale_factors.shape[0] - 1)
-    r_c = 7.0 * scale_factors[lvl_c]
+    r_c = 7.0 * radius_mult * scale_factors[lvl_c]
     d2c = jnp.sum((uv_cl[:, None, :] - m.kf_xy[kf_l][None, :, :]) ** 2, -1)
     m2 = match_descriptors(
         m.kf_desc[kf_c], vis_cl, m.kf_desc[kf_l], m.kf_kp_valid[kf_l],

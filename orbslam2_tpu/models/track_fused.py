@@ -234,7 +234,15 @@ def _fused_track(
     # nRefMatches counts ref-KF points with >= nMinObs observers (the
     # reference uses nMinObs = 3 once the map has > 2 keyframes, 2 below)
     # — weakly observed points don't count toward the "map is still well
-    # observed here" evidence.
+    # observed here" evidence.  Bootstrap exception the reference never
+    # needs: with exactly ONE keyframe (stereo/RGB-D init) every point
+    # has one observer, so nMinObs=2 makes nRefMatches 0 and c2 can
+    # never fire — on real data the close-point starvation clause
+    # rescues this (depth is sparse/noisy and nTrackedClose drops below
+    # 100 fast), but dense synthetic depth keeps it saturated and the
+    # map froze at 1 keyframe.  min_obs=1 for n_kf==1 makes the ratio
+    # measure plain frame-vs-refKF attrition until a second keyframe
+    # exists.
     obs_counts = (
         jnp.zeros((m.pt_capacity,), jnp.int32)
         .at[jnp.where(
@@ -244,7 +252,7 @@ def _fused_track(
     )
     ref_pid = m.kf_point[ctx.ref_kf]
     ref_bound = (ref_pid >= 0) & m.kf_kp_valid[ctx.ref_kf]
-    min_obs = jnp.where(m.n_kf > 2, 3, 2)
+    min_obs = jnp.where(m.n_kf > 2, 3, jnp.where(m.n_kf > 1, 2, 1))
     kf_tracked = jnp.sum(
         ref_bound & (obs_counts[jnp.maximum(ref_pid, 0)] >= min_obs)
     ).astype(jnp.int32)

@@ -1628,7 +1628,10 @@ class Tracker:
             return False
         frames_since = self.frame_id - self.last_kf_frame_id
         n_kf_now = int(self.map.n_kf)
-        min_obs = 3 if n_kf_now > 2 else 2
+        # Bootstrap exception for n_kf == 1 — see track_fused.py's policy
+        # block: with one keyframe every point has one observer and
+        # nMinObs=2 freezes the map.
+        min_obs = 3 if n_kf_now > 2 else (2 if n_kf_now > 1 else 1)
         obs_counts = ms.point_observation_counts(self.map)
         ref_pid = self.map.kf_point[self.ref_kf]
         ref_bound = (ref_pid >= 0) & self.map.kf_kp_valid[self.ref_kf]

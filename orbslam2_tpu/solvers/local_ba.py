@@ -239,14 +239,13 @@ def schur_ba_core(
         return H_cc, b_c, H_pp, b_p, g18
 
     # Inverse observation index: inv_slot[c, p] = the keypoint slot of
-    # point p in camera c (sentinel N when unobserved).  A keyframe binds
-    # a point to at most one keypoint, so the per-iteration cross-block
-    # tensor G[p, c] is a PERMUTATION of the per-observation contributions
-    # — built with a cheap gather here instead of the scatter-add the
-    # original formulation used (the (6,3,P*C) scatter measured 11 ms of
-    # the 12.8 ms LM iteration on TPU; a duplicate binding, which fuse
-    # prevents, would contribute once instead of twice).  Computed ONCE
-    # per call: pid and obs_ok are loop-invariant.
+    # point p in camera c (sentinel N when unobserved).  With one
+    # observation per (camera, point) pair the cross-block tensor G[p, c]
+    # is a PERMUTATION of the per-observation contributions — built with a
+    # cheap gather instead of the scatter-add the original formulation
+    # used (the (6,3,P*C) scatter measured 11 ms of the 12.8 ms LM
+    # iteration on TPU).  Computed ONCE per call: pid and obs_ok are
+    # loop-invariant.
     Nn = pid.shape[1]
     Cl0 = pid.shape[0]
     _cam_iota = jax.lax.broadcasted_iota(jnp.int32, pid.shape, 0)
@@ -256,6 +255,19 @@ def schur_ba_core(
         .at[_cam_iota.reshape(-1),
             jnp.where(obs_ok, pid, P).reshape(-1)]
         .min(jnp.where(obs_ok, _obs_iota, Nn).reshape(-1), mode="drop")
+    )
+    # DEDUPLICATE (camera, point) observations against that index: a
+    # one-directional matcher CAN bind two keypoints of one frame to the
+    # same map point; keeping only the first slot makes H_cc/H_pp/b and
+    # the gathered G see the SAME observation set.  (A first version kept
+    # duplicates in the scattered blocks but not in the gathered G — the
+    # inconsistent Schur complement degraded steps enough to triple
+    # odometric drift on the mono circle.)  Dropped duplicates are also
+    # excluded from the returned obs_mask, so the caller's outlier
+    # unbinding erases them from the map — the hygiene the reference gets
+    # from Fuse.
+    obs_ok = obs_ok & (
+        inv_slot[_cam_iota, jnp.clip(pid, 0, P - 1)] == _obs_iota
     )
 
     def _gather_G(G_planes):

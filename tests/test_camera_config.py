@@ -68,7 +68,7 @@ class TestYaml:
     def test_settings(self):
         s = Settings.from_yaml(TUM1_YAML, sensor="rgbd")
         assert s.camera.fx == 517.306408
-        assert s.orb.ini_th_fast == 20
+        assert s.orb.min_th_fast == 7  # iniThFAST is subsumed (config.py)
         assert s.camera.depth_map_factor == 5000.0
         assert s.tpu.max_keypoints == 1024  # next pow2 >= 1000
 
